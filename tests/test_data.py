@@ -1,0 +1,122 @@
+import numpy as np
+import pytest
+
+from vsta_tpu.config import Config, DataConfig, LossConfig, ModelConfig, TrainConfig
+from vsta_tpu.data.calibration import (
+    load_wildtrack_calibrations,
+    rescale_intrinsics,
+    rodrigues_np,
+)
+from vsta_tpu.data.pipeline import Prefetcher, split_train_val
+from vsta_tpu.data.synthetic import generate_synthetic_wildtrack, make_ring_camera
+from vsta_tpu.data.wildtrack import WildtrackDataset, collate
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("wildtrack")
+    generate_synthetic_wildtrack(
+        root, n_frames=4, n_views=3, n_people=5, img_hw=(360, 640), seed=1
+    )
+    return root
+
+
+def _cfg(root, views=3):
+    return Config(
+        data=DataConfig(batch_size=2, img_size=(180, 320), views=views, data_root=str(root)),
+        model=ModelConfig(bev_size=(40, 120), bev_bounds=(-12.0, 12.0, -6.0, 6.0)),
+        loss=LossConfig(max_objects=16),
+    )
+
+
+def test_calibration_roundtrip(synth_root):
+    """XML write -> parse must recover the generating camera (incl. the
+    rvec/tvec Rodrigues path and mm->m autoscaling)."""
+    Ks, Rts = load_wildtrack_calibrations(synth_root / "Calibration", 3)
+    for v in range(3):
+        K_true, Rt_true = make_ring_camera(v, 3, img_hw=(360, 640))
+        np.testing.assert_allclose(Ks[v], K_true, rtol=1e-6)
+        np.testing.assert_allclose(Rts[v], Rt_true, atol=1e-6)
+
+
+def test_rodrigues_np_roundtrip():
+    rv = np.array([0.2, -0.7, 1.1])
+    R = rodrigues_np(rv)
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-12)
+    assert np.isclose(np.linalg.det(R), 1.0)
+
+
+def test_rescale_intrinsics():
+    K = np.array([[1000.0, 0, 960], [0, 1000.0, 540], [0, 0, 1]])
+    K2 = rescale_intrinsics(K, (1080, 1920), (270, 480))
+    np.testing.assert_allclose(K2[0], [250.0, 0, 240], atol=1e-9)
+    np.testing.assert_allclose(K2[1], [0, 250.0, 135], atol=1e-9)
+    np.testing.assert_allclose(K2[2], [0, 0, 1])
+
+
+def test_dataset_loads_and_projects_annotations(synth_root):
+    ds = WildtrackDataset(_cfg(synth_root))
+    assert len(ds) == 4
+    s = ds[0]
+    assert s["images"].shape == (3, 180, 320, 3)
+    assert s["K"].shape == (3, 3, 3)
+    assert s["Rt"].shape == (3, 4, 4)
+    # foot-point projection should recover people (5 generated, all in-court)
+    n = int(s["num_boxes"])
+    assert 3 <= n <= 5  # some may be behind some cameras, but most project
+    boxes = s["boxes_world"][:n]
+    assert np.all(np.abs(boxes[:, 0]) < 12.0)
+    assert np.all(np.abs(boxes[:, 1]) < 7.0)
+    np.testing.assert_allclose(boxes[:, 2:], 0.6)
+
+
+def test_dataset_world_pos_format(tmp_path):
+    root = tmp_path / "wt"
+    generate_synthetic_wildtrack(
+        root, n_frames=2, n_views=3, n_people=4, img_hw=(360, 640),
+        world_pos_format=True, seed=2,
+    )
+    ds = WildtrackDataset(_cfg(root))
+    s = ds[0]
+    assert int(s["num_boxes"]) == 4
+
+
+def test_intrinsics_are_rescaled_to_working_size(synth_root):
+    ds = WildtrackDataset(_cfg(synth_root))
+    K_native, _ = make_ring_camera(0, 3, img_hw=(360, 640))
+    # working size is 180x320 -> scale 0.5
+    np.testing.assert_allclose(ds.Ks[0], K_native * np.array([[0.5], [0.5], [1.0]]), rtol=1e-5)
+
+
+def test_collate_and_prefetcher(synth_root):
+    ds = WildtrackDataset(_cfg(synth_root))
+    pf = Prefetcher(ds, range(len(ds)), batch_size=3, num_workers=2)
+    batches = list(pf)
+    # 4 frames / batch 3 -> 2 batches; second one padded with mask
+    assert len(batches) == 2
+    b0, b1 = batches
+    assert b0["images"].shape == (3, 3, 180, 320, 3)
+    assert b0["batch_mask"].all()
+    assert b1["batch_mask"].tolist() == [True, False, False]
+
+
+def test_prefetcher_drop_last(synth_root):
+    ds = WildtrackDataset(_cfg(synth_root))
+    pf = Prefetcher(ds, range(len(ds)), batch_size=3, num_workers=1, drop_last=True)
+    assert len(list(pf)) == 1
+
+
+def test_split_protocol():
+    tr, va = split_train_val(520)
+    assert tr == list(range(400)) and va == list(range(400, 500))
+    tr, va = split_train_val(100)
+    assert len(tr) == 80 and len(va) == 20
+    assert not set(tr) & set(va)
+
+
+def test_train_jitter_is_stochastic_eval_is_not(synth_root):
+    cfg = _cfg(synth_root)
+    ds_eval = WildtrackDataset(cfg, train=False)
+    a = ds_eval[0]["images"]
+    b = ds_eval[0]["images"]
+    np.testing.assert_array_equal(a, b)  # eval path is deterministic

@@ -1,0 +1,82 @@
+"""Multi-device sharding tests on the virtual 8-CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vsta_tpu.parallel.mesh import make_mesh, shard_batch, replicate_sharding
+from vsta_tpu.training.optim import build_optimizer
+from vsta_tpu.training.state import create_state, make_train_step
+
+from test_train_step import tiny_cfg, make_batch
+
+
+def test_virtual_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(4, 2)
+    assert mesh.devices.shape == (4, 2)
+    assert mesh.axis_names == ("data", "view")
+    mesh = make_mesh(0, 1)
+    assert mesh.devices.shape == (8, 1)
+
+
+def _run_steps(cfg, mesh, n=3):
+    batch = {k: np.asarray(v) for k, v in make_batch(cfg).items()}
+    sharded = shard_batch(batch, mesh)
+    tx = build_optimizer(cfg, steps_per_epoch=10)
+    state = create_state(cfg, tx, jax.random.PRNGKey(0))
+    state = jax.device_put(state, replicate_sharding(mesh))
+    step = jax.jit(make_train_step(cfg))
+    losses = []
+    for _ in range(n):
+        state, m = step(state, sharded)
+        losses.append(float(m["total_loss"]))
+    return losses, state
+
+
+def test_data_parallel_matches_single_device():
+    cfg = tiny_cfg()
+    # batch 4 so it splits 4-ways on the data axis
+    from vsta_tpu.config import Config, DataConfig
+
+    cfg = Config(
+        data=DataConfig(batch_size=4, img_size=(48, 64), views=3, data_root=""),
+        model=cfg.model,
+        train=cfg.train,
+        loss=cfg.loss,
+        runtime=cfg.runtime,
+    )
+    losses_1, _ = _run_steps(cfg, make_mesh(1, 1))
+    losses_8, _ = _run_steps(cfg, make_mesh(8, 1))
+    np.testing.assert_allclose(losses_1, losses_8, rtol=2e-4)
+
+
+def test_view_axis_sharding_matches():
+    """Sharding the camera-view axis (model's 'sequence' axis) must not
+    change the math - the per-view partial sums psum over the mesh."""
+    cfg = tiny_cfg()
+    from vsta_tpu.config import Config, DataConfig
+
+    cfg = Config(
+        data=DataConfig(batch_size=2, img_size=(48, 64), views=4, data_root=""),
+        model=cfg.model,
+        train=cfg.train,
+        loss=cfg.loss,
+        runtime=cfg.runtime,
+    )
+    losses_ref, _ = _run_steps(cfg, make_mesh(1, 1))
+    losses_dpvp, _ = _run_steps(cfg, make_mesh(2, 2))
+    np.testing.assert_allclose(losses_ref, losses_dpvp, rtol=2e-4)
+
+
+def test_dryrun_multichip_entrypoint():
+    import sys
+
+    sys.path.insert(0, ".")
+    from __graft_entry__ import dryrun_multichip
+
+    dryrun_multichip(8)

@@ -1,0 +1,119 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vsta_tpu.config import Config, DataConfig, ModelConfig, RuntimeConfig, TrainConfig, LossConfig
+from vsta_tpu.data.synthetic import make_ring_camera
+from vsta_tpu.training.optim import build_optimizer
+from vsta_tpu.training.state import create_state, make_eval_step, make_train_step
+
+
+def tiny_cfg(**runtime_kw) -> Config:
+    return Config(
+        data=DataConfig(batch_size=2, img_size=(48, 64), views=3, data_root=""),
+        model=ModelConfig(
+            backbone="simple",
+            feat_dim=8,
+            out_index=2,
+            bev_size=(16, 32),
+            bev_bounds=(-8.0, 8.0, -4.0, 4.0),
+            bev_proj_ch=12,
+            warp_impl="fused",
+            fusion="concat",
+        ),
+        train=TrainConfig(epochs=2, lr=1e-3, accum_steps=1),
+        loss=LossConfig(max_objects=8),
+        runtime=RuntimeConfig(use_amp=False, **runtime_kw),
+    )
+
+
+def make_batch(cfg: Config, seed=0):
+    rng = np.random.default_rng(seed)
+    B, V = cfg.data.batch_size, cfg.data.views
+    H, W = cfg.data.img_size
+    Ks, Rts = zip(
+        *(make_ring_camera(v, V, radius=10.0, height=4.0, img_hw=(H, W)) for v in range(V))
+    )
+    boxes = np.zeros((B, cfg.loss.max_objects, 4), np.float32)
+    boxes[:, 0] = [0.0, 0.0, 0.6, 0.6]
+    boxes[:, 1] = [2.0, 1.0, 0.6, 0.6]
+    return {
+        "images": jnp.array(rng.standard_normal((B, V, H, W, 3)).astype(np.float32)),
+        "K": jnp.array(np.broadcast_to(np.stack(Ks).astype(np.float32), (B, V, 3, 3))),
+        "Rt": jnp.array(np.broadcast_to(np.stack(Rts).astype(np.float32), (B, V, 4, 4))),
+        "boxes_world": jnp.array(boxes),
+        "num_boxes": jnp.full((B,), 2, jnp.int32),
+        "frame_idx": jnp.arange(B, dtype=jnp.int32),
+        "batch_mask": jnp.ones((B,), bool),
+    }
+
+
+def test_train_step_decreases_loss():
+    cfg = tiny_cfg()
+    tx = build_optimizer(cfg, steps_per_epoch=10)
+    state = create_state(cfg, tx, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(cfg))
+    batch = make_batch(cfg)
+    losses = []
+    for _ in range(30):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["total_loss"]))
+    assert np.isfinite(losses).all()
+    # overfit check on a fixed batch: loss must drop substantially
+    assert losses[-1] < losses[0] * 0.7, losses[:: max(1, len(losses) // 6)]
+
+
+def test_train_step_updates_params_and_stats():
+    cfg = tiny_cfg()
+    tx = build_optimizer(cfg, steps_per_epoch=10)
+    state = create_state(cfg, tx, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(cfg))
+    batch = make_batch(cfg)
+    p0 = jax.tree.map(np.asarray, state.params)
+    state, _ = step(state, batch)
+    changed = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()), state.params, p0
+    )
+    assert max(jax.tree.leaves(changed)) > 0
+    assert int(state.step) == 1
+
+
+def test_eval_step_decodes():
+    cfg = tiny_cfg()
+    tx = build_optimizer(cfg, steps_per_epoch=10)
+    state = create_state(cfg, tx, jax.random.PRNGKey(0))
+    eval_step = jax.jit(make_eval_step(cfg))
+    out = eval_step(state, make_batch(cfg))
+    assert out["boxes"].shape == (2, cfg.eval.max_dets, 4)
+    assert out["valid"].dtype == jnp.bool_
+
+
+def test_gradient_accumulation_matches_semantics():
+    """ACCUM_STEPS=2 must apply updates every 2 steps (optax.MultiSteps)."""
+    cfg = tiny_cfg()
+    cfg = Config(
+        data=cfg.data,
+        model=cfg.model,
+        train=TrainConfig(epochs=2, lr=1e-3, accum_steps=2),
+        loss=cfg.loss,
+        runtime=cfg.runtime,
+    )
+    tx = build_optimizer(cfg, steps_per_epoch=10)
+    state = create_state(cfg, tx, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(cfg))
+    batch = make_batch(cfg)
+    p0 = jax.tree.map(np.asarray, state.params)
+    state, _ = step(state, batch)  # micro-step 1: accumulate only
+    diff1 = max(
+        jax.tree.leaves(
+            jax.tree.map(lambda a, b: float(np.abs(np.asarray(a) - b).max()), state.params, p0)
+        )
+    )
+    assert diff1 == 0.0
+    state, _ = step(state, batch)  # micro-step 2: apply
+    diff2 = max(
+        jax.tree.leaves(
+            jax.tree.map(lambda a, b: float(np.abs(np.asarray(a) - b).max()), state.params, p0)
+        )
+    )
+    assert diff2 > 0.0

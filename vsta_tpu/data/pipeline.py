@@ -1,0 +1,120 @@
+"""Host input pipeline: threaded decode + batch prefetch to device.
+
+The reference's analog is torch DataLoader with worker processes,
+pin_memory and prefetch_factor=2 (reference: project/train.py:139-160).
+Here: a thread pool decodes the V camera images of upcoming samples
+while the TPU computes, and :class:`Prefetcher` keeps `prefetch` batches
+in flight (device_put is async in JAX, giving double buffering for free).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .wildtrack import collate
+
+
+def split_train_val(n_total: int, seed: int = 0) -> Tuple[List[int], List[int]]:
+    """Wildtrack protocol: fixed 400/100 when >= 500 frames, else random
+    80/20 (reference: project/train.py:126-136)."""
+    if n_total >= 500:
+        return list(range(0, 400)), list(range(400, 500))
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n_total)
+    n_val = int(n_total * 0.2)
+    n_train = n_total - n_val
+    return perm[:n_train].tolist(), perm[n_train:].tolist()
+
+
+class Prefetcher:
+    """Iterate batches of a dataset with background decoding.
+
+    dataset: indexable returning sample dicts (numpy).
+    indices: subset to iterate; shuffled per epoch when shuffle=True.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        indices: Sequence[int],
+        batch_size: int,
+        *,
+        shuffle: bool = False,
+        num_workers: int = 4,
+        prefetch: int = 2,
+        seed: int = 0,
+        drop_last: bool = False,
+        device_put: Optional[Callable[[Dict[str, np.ndarray]], Any]] = None,
+    ):
+        self.dataset = dataset
+        self.indices = list(indices)
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.prefetch = max(1, prefetch)
+        self.seed = seed
+        self.drop_last = drop_last
+        self.device_put = device_put
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.indices)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batches(self) -> List[List[int]]:
+        order = list(self.indices)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            order = [order[i] for i in rng.permutation(len(order))]
+        out = []
+        for i in range(0, len(order), self.batch_size):
+            chunk = order[i : i + self.batch_size]
+            if len(chunk) < self.batch_size:
+                if self.drop_last:
+                    continue
+                # static shapes: right-pad the final batch by repeating its
+                # last sample; consumers use 'batch_mask' to ignore padding.
+                chunk = chunk + [chunk[-1]] * (self.batch_size - len(chunk))
+                out.append((chunk, len(order) - i))
+                continue
+            out.append((chunk, len(chunk)))
+        return out
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        batches = self._batches()
+        self._epoch += 1
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for chunk, n_real in batches:
+                    if stop.is_set():
+                        return
+                    samples = list(pool.map(self.dataset.__getitem__, chunk))
+                    batch = collate(samples)
+                    mask = np.zeros(len(chunk), bool)
+                    mask[:n_real] = True
+                    batch["batch_mask"] = mask
+                    if self.device_put is not None:
+                        batch = self.device_put(batch)
+                    q.put(batch)
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()

@@ -1,0 +1,82 @@
+"""Host-side image transforms (PIL + numpy; no torch dependency).
+
+Reference pipeline (project/data/transforms.py:4-18): Resize ->
+RandomApply(ColorJitter(0.2, 0.2, 0.2, 0.05), p=0.5) -> ToTensor ->
+ImageNet Normalize. Divergence fixed on purpose: the reference applies
+the random jitter at eval/inference too; here jitter is train-only.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+from PIL import Image, ImageEnhance
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def color_jitter(
+    img: Image.Image,
+    rng: np.random.Generator,
+    brightness: float = 0.2,
+    contrast: float = 0.2,
+    saturation: float = 0.2,
+    hue: float = 0.05,
+) -> Image.Image:
+    """torchvision-style ColorJitter: each factor uniform in [1-x, 1+x],
+    hue shift uniform in [-hue, +hue] (fraction of the hue circle),
+    applied in random order."""
+    ops = []
+    if brightness > 0:
+        f = rng.uniform(max(0.0, 1 - brightness), 1 + brightness)
+        ops.append(lambda im: ImageEnhance.Brightness(im).enhance(f))
+    if contrast > 0:
+        g = rng.uniform(max(0.0, 1 - contrast), 1 + contrast)
+        ops.append(lambda im: ImageEnhance.Contrast(im).enhance(g))
+    if saturation > 0:
+        h = rng.uniform(max(0.0, 1 - saturation), 1 + saturation)
+        ops.append(lambda im: ImageEnhance.Color(im).enhance(h))
+    if hue > 0:
+        dh = rng.uniform(-hue, hue)
+
+        def _hue(im: Image.Image) -> Image.Image:
+            hsv = np.array(im.convert("HSV"), dtype=np.int16)
+            hsv[..., 0] = (hsv[..., 0] + int(round(dh * 255))) % 256
+            return Image.fromarray(hsv.astype(np.uint8), "HSV").convert("RGB")
+
+        ops.append(_hue)
+    order = rng.permutation(len(ops))
+    for i in order:
+        img = ops[i](img)
+    return img
+
+
+def load_and_transform(
+    path: str,
+    img_hw: Tuple[int, int],
+    rng: Optional[np.random.Generator] = None,
+    train: bool = False,
+    jitter_p: float = 0.5,
+) -> np.ndarray:
+    """Decode -> resize -> (train-only jitter) -> normalize. Returns
+    [H, W, 3] float32 (channels-last, TPU layout)."""
+    img = Image.open(path).convert("RGB")
+    return transform_pil(img, img_hw, rng=rng, train=train, jitter_p=jitter_p)
+
+
+def transform_pil(
+    img: Image.Image,
+    img_hw: Tuple[int, int],
+    rng: Optional[np.random.Generator] = None,
+    train: bool = False,
+    jitter_p: float = 0.5,
+) -> np.ndarray:
+    H, W = img_hw
+    if img.size != (W, H):
+        img = img.resize((W, H), Image.BILINEAR)
+    if train and rng is not None and rng.uniform() < jitter_p:
+        img = color_jitter(img, rng)
+    arr = np.asarray(img, np.float32) / 255.0
+    return (arr - IMAGENET_MEAN) / IMAGENET_STD

@@ -1,0 +1,197 @@
+"""Wildtrack dataset reader (host side, numpy; static-shape outputs).
+
+Reference behavior reproduced (project/data/wildtrack_loader.py:250-401):
+  * discovers ``Image_subsets/C1..CV``; frame list follows camera 1;
+  * calibration from ``Calibration``/``Calibrations``/``calibration``;
+  * annotations from ``annotations_positions``/``Annotations``/
+    ``annotations``; two JSON layouts: {'annotations': [{'world_pos':
+    [x, y]}]} dicts, or the official list-of-persons layout whose
+    per-view boxes are projected to the ground at the foot point
+    (u=(xmin+xmax)/2, v=ymax) and averaged over views;
+  * per-frame targets precomputed once.
+
+Deliberate fixes (documented divergences):
+  * intrinsics are rescaled to the working image size (the reference
+    keeps full-res K while resizing images - see calibration.py);
+  * foot-point projection uses ORIGINAL-resolution K (annotation pixel
+    coords are full-res);
+  * targets padded to LOSS.MAX_OBJECTS for static shapes.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+from ..config import Config
+from .calibration import (
+    load_wildtrack_calibrations,
+    pixel_to_world_np,
+    rescale_intrinsics,
+)
+from .transforms import load_and_transform
+
+
+class WildtrackDataset:
+    """Multi-view frame dataset; __getitem__ returns numpy dicts."""
+
+    def __init__(self, cfg: Config, train: bool = False):
+        self.cfg = cfg
+        self.train = train
+        self.data_root = Path(cfg.data.data_root).resolve()
+        self.views = cfg.data.views
+        self.img_hw = cfg.data.img_size
+        self.max_objects = cfg.loss.max_objects
+        self.default_box_wh = cfg.loss.default_box_wh
+
+        img_root = self.data_root / "Image_subsets"
+        if not img_root.exists():
+            raise FileNotFoundError(f"image root not found: {img_root}")
+        self.cam_dirs = []
+        for i in range(1, self.views + 1):
+            d = img_root / f"C{i}"
+            if not d.exists():
+                raise FileNotFoundError(f"camera folder not found: {d}")
+            self.cam_dirs.append(d)
+        self.frame_files = sorted(p.name for p in self.cam_dirs[0].iterdir() if p.is_file())
+        if not self.frame_files:
+            raise FileNotFoundError("no image files found")
+
+        calib_dir = next(
+            (
+                self.data_root / n
+                for n in ("Calibration", "Calibrations", "calibration")
+                if (self.data_root / n).exists()
+            ),
+            None,
+        )
+        if calib_dir is None:
+            raise FileNotFoundError(
+                "calibration dir not found (tried Calibration/Calibrations/calibration)"
+            )
+        Ks_orig, Rts = load_wildtrack_calibrations(calib_dir, self.views)
+
+        # Native sensor resolution from the first frame (Wildtrack: 1920x1080).
+        with Image.open(self.cam_dirs[0] / self.frame_files[0]) as im:
+            self.orig_hw = (im.height, im.width)
+
+        self.Ks_orig = [np.asarray(K, np.float64) for K in Ks_orig]
+        self.Ks = np.stack(
+            [rescale_intrinsics(K, self.orig_hw, self.img_hw) for K in Ks_orig]
+        ).astype(np.float32)
+        self.Rts = np.stack(Rts).astype(np.float32)
+
+        ann_dir = next(
+            (
+                self.data_root / n
+                for n in ("annotations_positions", "Annotations", "annotations")
+                if (self.data_root / n).exists()
+            ),
+            None,
+        )
+        self.annotations_dir = ann_dir
+        self.centers_per_frame: List[np.ndarray] = [
+            self._parse_frame_annotations(f) for f in self.frame_files
+        ]
+
+        self._rng = np.random.default_rng(cfg.train.seed)
+
+    def __len__(self) -> int:
+        return len(self.frame_files)
+
+    def _parse_frame_annotations(self, fname: str) -> np.ndarray:
+        """World-coordinate pedestrian centers [N, 2] for one frame."""
+        centers: List[List[float]] = []
+        if self.annotations_dir is not None:
+            jp = self.annotations_dir / (Path(fname).stem + ".json")
+            if jp.exists():
+                try:
+                    with open(jp, "r") as f:
+                        data = json.load(f)
+                    if isinstance(data, dict) and "annotations" in data:
+                        for ann in data["annotations"]:
+                            wp = ann.get("world_pos")
+                            if wp and len(wp) >= 2:
+                                centers.append([float(wp[0]), float(wp[1])])
+                    elif isinstance(data, list):
+                        for person in data:
+                            pts = []
+                            for view in person.get("views", []):
+                                vnum = int(view.get("viewNum", -1))
+                                if vnum < 0 or vnum >= len(self.Ks_orig):
+                                    continue
+                                xmin, xmax = view.get("xmin"), view.get("xmax")
+                                ymin, ymax = view.get("ymin"), view.get("ymax")
+                                if None in (xmin, xmax, ymin, ymax):
+                                    continue
+                                if xmin < 0 and xmax < 0:  # official "not visible" = -1
+                                    continue
+                                u = 0.5 * (float(xmin) + float(xmax))
+                                v = float(ymax)
+                                wp = pixel_to_world_np(
+                                    u, v, self.Ks_orig[vnum], self.Rts[vnum]
+                                )
+                                if wp is not None:
+                                    pts.append(wp)
+                            if pts:
+                                centers.append(
+                                    [
+                                        sum(p[0] for p in pts) / len(pts),
+                                        sum(p[1] for p in pts) / len(pts),
+                                    ]
+                                )
+                except Exception as e:  # tolerant like the reference
+                    print(f"[WildtrackDataset] failed to parse {jp}: {e}")
+        return (
+            np.asarray(centers, np.float32) if centers else np.zeros((0, 2), np.float32)
+        )
+
+    def targets_for(self, idx: int) -> Tuple[np.ndarray, int]:
+        """Padded world boxes [MAX_OBJECTS, 4] + count (centers + default WH)."""
+        centers = self.centers_per_frame[idx]
+        n = min(len(centers), self.max_objects)
+        boxes = np.zeros((self.max_objects, 4), np.float32)
+        if n > 0:
+            boxes[:n, :2] = centers[:n]
+            boxes[:n, 2] = self.default_box_wh[0]
+            boxes[:n, 3] = self.default_box_wh[1]
+        return boxes, n
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        imgs = np.stack(
+            [
+                load_and_transform(
+                    str(self.cam_dirs[v] / self.frame_files[idx]),
+                    self.img_hw,
+                    rng=self._rng,
+                    train=self.train,
+                )
+                for v in range(self.views)
+            ]
+        )  # [V, H, W, 3]
+        boxes, n = self.targets_for(idx)
+        return {
+            "images": imgs,
+            "K": self.Ks,
+            "Rt": self.Rts,
+            "boxes_world": boxes,
+            "num_boxes": np.int32(n),
+            "frame_idx": np.int32(idx),
+        }
+
+
+def collate(samples: List[Dict[str, Any]]) -> Dict[str, np.ndarray]:
+    """Stack per-frame samples into a batch of arrays (ref collate_fn,
+    wildtrack_loader.py:389-401, but fully tensorized)."""
+    return {
+        "images": np.stack([s["images"] for s in samples]),
+        "K": np.stack([s["K"] for s in samples]),
+        "Rt": np.stack([s["Rt"] for s in samples]),
+        "boxes_world": np.stack([s["boxes_world"] for s in samples]),
+        "num_boxes": np.stack([s["num_boxes"] for s in samples]),
+        "frame_idx": np.stack([s["frame_idx"] for s in samples]),
+    }

@@ -1,0 +1,25 @@
+from .homography import (
+    rodrigues,
+    compute_homography,
+    invert_homography,
+    project_points,
+    pixel_to_world,
+)
+from .bev import (
+    ground_grid,
+    meters_to_bev_indices,
+    bev_indices_to_meters,
+    bev_sample_coords,
+)
+
+__all__ = [
+    "rodrigues",
+    "compute_homography",
+    "invert_homography",
+    "project_points",
+    "pixel_to_world",
+    "ground_grid",
+    "meters_to_bev_indices",
+    "bev_indices_to_meters",
+    "bev_sample_coords",
+]

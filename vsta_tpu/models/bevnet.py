@@ -1,0 +1,190 @@
+"""BEVNet: the full multi-view BEV detection model.
+
+Composition (reference: project/models/model_wrapper.py:53-103):
+encoder -> homography warp to BEV -> cross-view fusion -> 1x1 projection
+-> sin/cos positional encoding concat -> CenterNet head.
+
+TPU-first restructuring:
+  * all modules are built eagerly from config (no lazy modules, no
+    strict=False checkpoint loading - ref model_wrapper.py:46-47, 70-84);
+  * for concat fusion the projection is algebraically fused into the
+    warp (see :func:`vsta_tpu.ops.warp.fused_warp_proj`) so the
+    [B, V, C, H_bev, W_bev] intermediate never exists;
+  * channels-last layout, bf16 compute / f32 params under AMP;
+  * decode is a separate pure function (ops/decode.py), applied outside
+    the differentiated path.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import Config
+from ..geometry import ground_grid, bev_sample_coords
+from ..ops.warp import fused_warp_proj, warp_views, precompute_warp_lut
+from .encoders.encoder import ViewEncoder
+from .fusion import SimpleFusion, AttentionFusion
+from .heads import BEVDetectorHead
+
+
+def positional_encoding(
+    bev_h: int, bev_w: int, bounds: Tuple[float, float, float, float]
+) -> jax.Array:
+    """2-channel sin/cos positional encoding over normalized BEV XY.
+
+    Matches reference _create_pos_enc (model_wrapper.py:342-353): the
+    linspace spans the bounds inclusively (cell corners, not centers).
+    Returns [H, W, 2].
+    """
+    x_min, x_max, y_min, y_max = bounds
+    xs = jnp.linspace(x_min, x_max, bev_w)
+    ys = jnp.linspace(y_min, y_max, bev_h)
+    xx, yy = jnp.meshgrid(xs, ys, indexing="xy")
+    x_norm = (xx - x_min) / (x_max - x_min)
+    y_norm = (yy - y_min) / (y_max - y_min)
+    return jnp.stack(
+        [jnp.sin(2.0 * jnp.pi * x_norm), jnp.cos(2.0 * jnp.pi * y_norm)], axis=-1
+    ).astype(jnp.float32)
+
+
+class BEVNet(nn.Module):
+    """Flax module; construct via ``BEVNet.from_config(cfg)``."""
+
+    backbone: str = "resnet18"
+    feat_dim: int = 64
+    out_index: int = 2
+    views: int = 7
+    bev_size: Tuple[int, int] = (120, 360)
+    bev_bounds: Tuple[float, float, float, float] = (-24.0, 24.0, -7.2, 7.2)
+    bev_proj_ch: int = 128
+    default_box_wh: Tuple[float, float] = (0.6, 0.6)
+    warp_impl: str = "fused"
+    fusion: str = "concat"
+    dtype: Any = jnp.float32
+
+    @classmethod
+    def from_config(cls, cfg: Config) -> "BEVNet":
+        return cls(
+            backbone=cfg.model.backbone,
+            feat_dim=cfg.model.feat_dim,
+            out_index=cfg.model.out_index,
+            views=cfg.data.views,
+            bev_size=cfg.model.bev_size,
+            bev_bounds=cfg.model.bev_bounds,
+            bev_proj_ch=cfg.model.bev_proj_ch,
+            default_box_wh=cfg.loss.default_box_wh,
+            warp_impl=cfg.model.warp_impl,
+            fusion=cfg.model.fusion,
+            dtype=jnp.bfloat16 if cfg.runtime.use_amp else jnp.float32,
+        )
+
+    @nn.compact
+    def __call__(
+        self,
+        images: jax.Array,
+        K: jax.Array,
+        Rt: jax.Array,
+        train: bool = False,
+        return_per_view: bool = False,
+    ) -> Dict[str, jax.Array]:
+        """images [B,V,H,W,3]; K [B,V,3,3]; Rt [B,V,4,4] (world->cam).
+
+        Returns channels-last heads + 'bev_feat'; shapes are static.
+        """
+        B, V, H, W, _ = images.shape
+        assert V == self.views, f"config VIEWS={self.views} but got V={V}"
+        Hb, Wb = self.bev_size
+
+        feats = ViewEncoder(
+            backbone=self.backbone,
+            feat_dim=self.feat_dim,
+            out_index=self.out_index,
+            dtype=self.dtype,
+            name="encoder",
+        )(images, train=train)
+        _, _, Hf, Wf, C = feats.shape
+
+        grid = ground_grid(Hb, Wb, self.bev_bounds)
+        coords = bev_sample_coords(K, Rt, (H, W), (Hf, Wf), grid)
+
+        out: Dict[str, jax.Array] = {}
+        if self.fusion == "concat" and self.warp_impl in ("fused", "pallas"):
+            kernel = self.param(
+                "view_proj",
+                nn.initializers.lecun_normal(),
+                (V, C, self.bev_proj_ch),
+                jnp.float32,
+            )
+            bias = self.param(
+                "view_proj_bias", nn.initializers.zeros, (self.bev_proj_ch,), jnp.float32
+            )
+            if self.warp_impl == "pallas":
+                from ..ops.warp_pallas import fused_warp_proj_pallas
+
+                bev_main = fused_warp_proj_pallas(
+                    feats, coords, kernel, bias, compute_dtype=self.dtype
+                )
+            else:
+                bev_main = fused_warp_proj(
+                    feats, coords, kernel, bias, compute_dtype=self.dtype
+                )
+        else:
+            per_view = warp_views(feats, coords)  # [B,V,Hb,Wb,C]
+            if return_per_view:
+                out["bev_per_view"] = per_view
+            if self.fusion == "concat":
+                # parity path: concat channels then 1x1 project with the SAME
+                # [V, C, C_out] parameterization as the fused path.
+                kernel = self.param(
+                    "view_proj",
+                    nn.initializers.lecun_normal(),
+                    (V, C, self.bev_proj_ch),
+                    jnp.float32,
+                )
+                bias = self.param(
+                    "view_proj_bias",
+                    nn.initializers.zeros,
+                    (self.bev_proj_ch,),
+                    jnp.float32,
+                )
+                prec = None if self.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+                bev_main = (
+                    jnp.einsum(
+                        "bvhwc,vco->bhwo",
+                        per_view.astype(self.dtype),
+                        kernel.astype(self.dtype),
+                        precision=prec,
+                    )
+                    + bias.astype(self.dtype)
+                )
+            elif self.fusion in ("mean", "sum", "max"):
+                fused = SimpleFusion(mode=self.fusion)(per_view)
+                bev_main = nn.Conv(
+                    self.bev_proj_ch, (1, 1), dtype=self.dtype, name="bev_proj"
+                )(fused.astype(self.dtype))
+            elif self.fusion in ("attn", "deform_attn"):
+                coverage = jnp.max(jnp.abs(per_view), axis=-1)  # [B,V,Hb,Wb]
+                fused = AttentionFusion(dtype=self.dtype)(per_view, coverage)
+                bev_main = nn.Conv(
+                    self.bev_proj_ch, (1, 1), dtype=self.dtype, name="bev_proj"
+                )(fused.astype(self.dtype))
+            else:
+                raise ValueError(f"unknown fusion: {self.fusion}")
+
+        pos = positional_encoding(Hb, Wb, self.bev_bounds)
+        pos_b = jnp.broadcast_to(pos[None], (B, Hb, Wb, 2)).astype(bev_main.dtype)
+        bev_feat = jnp.concatenate([bev_main, pos_b], axis=-1)
+
+        det = BEVDetectorHead(
+            bev_bounds=self.bev_bounds,
+            bev_size=self.bev_size,
+            default_box_wh=self.default_box_wh,
+            name="detector",
+        )(bev_feat)
+        out.update(det)
+        out["bev_feat"] = bev_feat.astype(jnp.float32)
+        return out

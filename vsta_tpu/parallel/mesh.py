@@ -1,0 +1,66 @@
+"""Device mesh + sharding layout.
+
+The reference is single-device with no communication layer at all
+(SURVEY.md section 2.3; ref train.py:114 picks one CUDA device). Here
+scaling is first-class: a 2-axis ``Mesh`` ('data', 'view'):
+
+  * 'data'  - batch sharding, the primary axis (pure DP);
+  * 'view'  - the camera axis, the model's natural "sequence" axis:
+    per-view encoder work and the per-view warp+project partial sums
+    shard across chips and combine with one psum-shaped reduction that
+    XLA inserts at the `sum over views` in fused_warp_proj.
+
+Params are replicated (the model is ~1-10 M params - far below the
+threshold where sharded weights pay off). Gradients all-reduce over ICI
+automatically because params have a replicated sharding under jit.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_data: int = 0, n_view: int = 1, devices: Optional[Sequence[jax.Device]] = None
+) -> Mesh:
+    """Build a ('data', 'view') mesh. n_data=0 means 'all remaining'."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n_data <= 0:
+        n_data = max(1, n // max(1, n_view))
+    use = n_data * n_view
+    arr = np.array(devices[:use]).reshape(n_data, n_view)
+    return Mesh(arr, ("data", "view"))
+
+
+def batch_sharding(mesh: Mesh) -> Dict[str, NamedSharding]:
+    """Shardings for a collated batch dict: [B, V, ...] arrays split over
+    ('data', 'view'); per-frame arrays split over 'data'."""
+    s = lambda *spec: NamedSharding(mesh, P(*spec))
+    return {
+        "images": s("data", "view"),
+        "K": s("data", "view"),
+        "Rt": s("data", "view"),
+        "boxes_world": s("data"),
+        "num_boxes": s("data"),
+        "frame_idx": s("data"),
+        "batch_mask": s("data"),
+    }
+
+
+def replicate_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, jax.Array]:
+    """device_put a host batch with the layout from batch_sharding."""
+    shardings = batch_sharding(mesh)
+    out = {}
+    for k, v in batch.items():
+        sh = shardings.get(k, replicate_sharding(mesh))
+        out[k] = jax.device_put(v, sh)
+    return out

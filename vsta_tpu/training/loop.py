@@ -1,0 +1,222 @@
+"""End-to-end training loop (the reference train.py main(), rebuilt).
+
+Reference flow (project/train.py:107-365): dataset + 400/100 split ->
+DataLoaders -> model/optimizer/scheduler -> AMP epoch loop with grad
+accumulation -> eval every EVAL.INTERVAL -> metrics + TensorBoard ->
+last/best checkpoints -> early stopping -> learning curves.
+
+TPU rebuild: one jit-compiled train step over a ('data', 'view') mesh,
+async dispatch (loss fetched with a 1-step lag so the host never blocks
+the device), threaded host input pipeline, orbax checkpoints with real
+resume, and a memory-pressure emergency checkpoint using JAX device
+stats instead of pynvml (ref train.py:310-323).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from datetime import datetime
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from ..config import Config
+from ..data.pipeline import Prefetcher, split_train_val
+from ..data.wildtrack import WildtrackDataset
+from ..parallel.mesh import make_mesh, shard_batch
+from ..utils.logging import MetricWriter, ScalarLogger
+from ..utils.telemetry import host_stats, max_device_memory_percent
+from ..utils.visualization import save_bev_heatmap, save_learning_curves
+from .checkpoint import CheckpointManager
+from .metrics import DetectionMetrics
+from .optim import build_optimizer
+from .state import create_state, make_eval_step, make_train_step
+
+
+def run_training(
+    cfg: Config,
+    *,
+    work_dir: str = ".",
+    save_vis: bool = False,
+    resume: bool = False,
+    dataset: Optional[WildtrackDataset] = None,
+    val_dataset: Optional[WildtrackDataset] = None,
+    max_epochs: Optional[int] = None,
+) -> Dict[str, float]:
+    """Train BEVNet on Wildtrack(-format) data; returns final metrics."""
+    work_dir = Path(work_dir)
+    save_dir = work_dir / cfg.runtime.save_dir
+    out_dir = work_dir / cfg.runtime.output_dir
+    save_dir.mkdir(parents=True, exist_ok=True)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    train_ds = dataset if dataset is not None else WildtrackDataset(cfg, train=True)
+    eval_ds = (
+        val_dataset if val_dataset is not None else WildtrackDataset(cfg, train=False)
+    )
+    idx_train, idx_val = split_train_val(len(train_ds), cfg.train.seed)
+    print(
+        f"[data] {len(train_ds)} frames -> {len(idx_train)} train / {len(idx_val)} val"
+    )
+
+    mesh = make_mesh(cfg.runtime.mesh_data, cfg.runtime.mesh_view)
+    print(f"[mesh] {dict(zip(mesh.axis_names, mesh.devices.shape))} on {mesh.devices.size} device(s)")
+
+    dl_train = Prefetcher(
+        train_ds,
+        idx_train,
+        cfg.data.batch_size,
+        shuffle=True,
+        num_workers=cfg.runtime.num_workers,
+        seed=cfg.train.seed,
+        drop_last=True,
+        device_put=lambda b: shard_batch(b, mesh),
+    )
+    dl_val = Prefetcher(
+        eval_ds,
+        idx_val,
+        cfg.data.batch_size,
+        shuffle=False,
+        num_workers=cfg.runtime.num_workers,
+        device_put=lambda b: shard_batch(b, mesh),
+    )
+
+    steps_per_epoch = max(1, len(dl_train))
+    tx = build_optimizer(cfg, steps_per_epoch)
+    state = create_state(cfg, tx, jax.random.PRNGKey(cfg.train.seed))
+    n_params = sum(x.size for x in jax.tree.leaves(state.params))
+    print(f"[model] {cfg.model.backbone} | {n_params/1e6:.2f} M params")
+
+    train_step = jax.jit(make_train_step(cfg), donate_argnums=(0,))
+    eval_step = jax.jit(make_eval_step(cfg))
+
+    ckpt = CheckpointManager(str(save_dir))
+    logger = ScalarLogger(str(save_dir))
+    metric_writer = MetricWriter(str(save_dir))
+
+    start_epoch, best_f1 = 0, -1.0
+    if resume and ckpt.exists("last"):
+        state, start_epoch, best_f1 = ckpt.restore("last", state)
+        start_epoch += 1
+        print(f"[resume] from epoch {start_epoch}, best_f1={best_f1:.3f}")
+
+    debug_max = cfg.runtime.debug_max_steps
+    interval = max(1, cfg.eval.interval)
+    patience = cfg.train.patience
+    mem_limit = cfg.runtime.memory_limit_percent
+
+    no_improve = 0
+    global_step = int(state.step)
+    train_loss_curve, val_f1_curve = [], []
+    epochs = max_epochs if max_epochs is not None else cfg.train.epochs
+    final_metrics: Dict[str, float] = {}
+
+    for epoch in range(start_epoch, epochs):
+        t0 = time.perf_counter()
+        running = 0.0
+        step_count = 0
+        pending = None  # (loss_device_array) fetched with 1-step lag
+        for batch in dl_train:
+            state, metrics = train_step(state, batch)
+            if pending is not None:
+                running += float(pending)
+            pending = metrics["total_loss"]
+            step_count += 1
+            global_step += 1
+            if step_count % 10 == 0:
+                dt = time.perf_counter() - t0
+                print(
+                    f"[train][epoch {epoch}] steps={step_count} "
+                    f"avg_steps/s={step_count / max(1e-6, dt):.2f}"
+                )
+            logger.log("train/loss_iter", float(pending), global_step)
+            if debug_max > 0 and step_count >= debug_max:
+                break
+        if pending is not None:
+            running += float(pending)
+        train_loss_epoch = running / max(1, step_count)
+        train_loss_curve.append(train_loss_epoch)
+
+        do_eval = (epoch + 1) % interval == 0
+        summary: Dict[str, float] = {}
+        if do_eval:
+            acc = DetectionMetrics(match_dist=cfg.eval.nms_dist_m)
+            val_steps = 0
+            for batch in dl_val:
+                out = eval_step(state, batch)
+                acc.update_batch(
+                    np.asarray(out["boxes"]),
+                    np.asarray(out["scores"]),
+                    np.asarray(out["valid"]),
+                    np.asarray(batch["boxes_world"]),
+                    np.asarray(batch["num_boxes"]),
+                    np.asarray(batch["batch_mask"]),
+                )
+                if save_vis and val_steps == 0:
+                    save_bev_heatmap(
+                        np.asarray(out["heatmap"]),
+                        str(out_dir / f"epoch{epoch}_hm.png"),
+                    )
+                val_steps += 1
+                if debug_max > 0 and val_steps >= debug_max:
+                    break
+            summary = acc.summary()
+            val_f1_curve.append(summary["f1"])
+            final_metrics = summary
+
+        stamp = datetime.now().strftime("%Y-%m-%d %H:%M:%S")
+        phase = "eval" if do_eval else "train"
+        msg = (
+            f"[{stamp}] phase={phase} epoch={epoch} loss={train_loss_epoch:.4f}"
+        )
+        if summary:
+            msg += (
+                f" P={summary['precision']:.3f} R={summary['recall']:.3f}"
+                f" F1={summary['f1']:.3f} MLE={summary['mle']:.3f}"
+                f" MODA={summary['moda']:.3f} MODP={summary['modp']:.3f}"
+                f" TP={summary['tp']:.0f} FP={summary['fp']:.0f} FN={summary['fn']:.0f}"
+            )
+        print(msg)
+
+        mem_pct = max_device_memory_percent()
+        if mem_pct is not None:
+            print(f"[tpu] mem%={mem_pct:.0f}")
+            if mem_pct >= mem_limit:
+                ckpt.save("mem_triggered", state, epoch=epoch, best_f1=best_f1)
+                print("[tpu] saved memory-triggered checkpoint")
+        hs = host_stats()
+        if hs:
+            print(f"[sys] cpu={hs.get('cpu_percent', 0):.0f}% ram={hs.get('ram_percent', 0):.0f}%")
+
+        if summary:
+            logger.log_dict(
+                {k: summary[k] for k in ("precision", "recall", "f1", "mle", "moda", "modp")},
+                epoch,
+                prefix="val/",
+            )
+        metric_writer.write(
+            {"epoch": epoch, "train_loss": train_loss_epoch, **summary}
+        )
+
+        ckpt.save("last", state, epoch=epoch, best_f1=best_f1)
+        if summary and summary["f1"] > best_f1:
+            best_f1 = summary["f1"]
+            ckpt.save("best", state, epoch=epoch, best_f1=best_f1)
+            print(f"[ckpt] new best (F1={best_f1:.3f})")
+            no_improve = 0
+        elif do_eval:
+            no_improve += 1
+        if patience > 0 and no_improve >= patience and do_eval:
+            print(f"[early-stop] epoch {epoch}: no F1 improvement for {no_improve} evals")
+            break
+
+    save_learning_curves(
+        train_loss_curve, val_f1_curve, str(save_dir / "learning_curves.png")
+    )
+    logger.close()
+    final_metrics["train_loss"] = train_loss_curve[-1] if train_loss_curve else float("nan")
+    final_metrics["best_f1"] = best_f1
+    return final_metrics
