@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Standalone evaluation CLI (new over the reference - its eval lives
+only inside the train loop, project/train.py:269-309): loads a
+checkpoint, runs the val split (Wildtrack 400/100 protocol,
+train.py:126-136), and prints precision/recall/F1/MLE plus the true
+MODA/MODP the reference names as targets but never implements
+(README.md:70).
+
+Usage: python evaluate.py --config configs/wildtrack.yaml \
+           --checkpoint checkpoints/best [--split val|train|all]
+"""
+
+import argparse
+import json
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from vsta_tpu.config import load_config
+from vsta_tpu.data.pipeline import Prefetcher, split_train_val
+from vsta_tpu.data.wildtrack import WildtrackDataset
+from vsta_tpu.parallel.mesh import make_mesh, shard_batch
+from vsta_tpu.training.checkpoint import CheckpointManager
+from vsta_tpu.training.metrics import DetectionMetrics
+from vsta_tpu.training.optim import build_optimizer
+from vsta_tpu.training.state import create_state, make_eval_step
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("--checkpoint", type=str, default="checkpoints/best")
+    parser.add_argument("--split", type=str, default="val", choices=["val", "train", "all"])
+    args = parser.parse_args()
+
+    cfg = load_config(args.config)
+    ds = WildtrackDataset(cfg, train=False)
+    idx_train, idx_val = split_train_val(len(ds), cfg.train.seed)
+    indices = {"val": idx_val, "train": idx_train, "all": list(range(len(ds)))}[args.split]
+
+    mesh = make_mesh(cfg.runtime.mesh_data, cfg.runtime.mesh_view)
+    dl = Prefetcher(
+        ds,
+        indices,
+        cfg.data.batch_size,
+        shuffle=False,
+        num_workers=cfg.runtime.num_workers,
+        device_put=lambda b: shard_batch(b, mesh),
+    )
+
+    state = create_state(cfg, build_optimizer(cfg, 1), jax.random.PRNGKey(0))
+    ckpt_path = Path(args.checkpoint)
+    ckpt = CheckpointManager(str(ckpt_path.parent))
+    state, epoch, f1 = ckpt.restore(ckpt_path.name, state)
+    print(f"[ckpt] loaded {args.checkpoint} (epoch {epoch}, f1={f1:.3f})")
+
+    eval_step = jax.jit(make_eval_step(cfg))
+    acc = DetectionMetrics(match_dist=cfg.eval.nms_dist_m)
+    for batch in dl:
+        out = eval_step(state, batch)
+        acc.update_batch(
+            np.asarray(out["boxes"]),
+            np.asarray(out["scores"]),
+            np.asarray(out["valid"]),
+            np.asarray(batch["boxes_world"]),
+            np.asarray(batch["num_boxes"]),
+            np.asarray(batch["batch_mask"]),
+        )
+    summary = acc.summary()
+    print(json.dumps({k: round(float(v), 4) for k, v in summary.items()}, indent=2))
+
+
+if __name__ == "__main__":
+    main()

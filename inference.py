@@ -3,7 +3,13 @@
 (`python inference.py --config ... --checkpoint ...`,
 reference: project/inference.py:17-48): runs the full dataset and writes
 per-frame prediction JSON ({"frame_idx", "boxes", "scores"}) to
-RUNTIME.OUTPUT_DIR."""
+RUNTIME.OUTPUT_DIR.
+
+New over the reference: `--track` runs the Phase-3 SORT tracker (which
+the reference only stubs, project/models/heads/detector.py:128-130) over
+the decoded sequence and adds a "tracks" field per frame; `--save_vis`
+writes BEV heatmap PNGs like train.py's flag.
+"""
 
 import argparse
 from pathlib import Path
@@ -15,16 +21,19 @@ from vsta_tpu.config import load_config
 from vsta_tpu.data.pipeline import Prefetcher
 from vsta_tpu.data.wildtrack import WildtrackDataset
 from vsta_tpu.parallel.mesh import make_mesh, shard_batch
+from vsta_tpu.tracking import SortTracker
 from vsta_tpu.training.checkpoint import CheckpointManager
 from vsta_tpu.training.optim import build_optimizer
 from vsta_tpu.training.state import create_state, make_eval_step
-from vsta_tpu.utils.visualization import save_predictions_json
+from vsta_tpu.utils.visualization import save_bev_heatmap, save_predictions_json
 
 
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=str, required=True)
     parser.add_argument("--checkpoint", type=str, default="checkpoints/best")
+    parser.add_argument("--track", action="store_true", default=False)
+    parser.add_argument("--save_vis", action="store_true", default=False)
     args = parser.parse_args()
 
     cfg = load_config(args.config)
@@ -45,19 +54,63 @@ def main():
     state, epoch, f1 = ckpt.restore(ckpt_path.name, state)
     print(f"[ckpt] loaded {args.checkpoint} (epoch {epoch}, f1={f1:.3f})")
 
+    tracker = (
+        SortTracker(
+            max_age=cfg.track.max_age,
+            min_hits=cfg.track.min_hits,
+            match_dist_m=cfg.track.match_dist_m,
+        )
+        if args.track
+        else None
+    )
+
     eval_step = jax.jit(make_eval_step(cfg))
     out_dir = cfg.runtime.output_dir
+    n_frames = 0
     for batch in dl:
         out = eval_step(state, batch)
+        boxes = np.asarray(out["boxes"])
+        scores = np.asarray(out["scores"])
+        valid = np.asarray(out["valid"])
+        frame_idx = np.asarray(batch["frame_idx"]).tolist()
+        batch_mask = np.asarray(batch["batch_mask"])
+
+        tracks_per_frame = None
+        if tracker is not None:
+            # frames arrive in dataset order (shuffle=False); step the
+            # online tracker row by row
+            tracks_per_frame = []
+            for b in range(boxes.shape[0]):
+                if not batch_mask[b]:
+                    tracks_per_frame.append([])
+                    continue
+                keep = valid[b]
+                trks = tracker.update(boxes[b][keep, :2], scores[b][keep])
+                tracks_per_frame.append(
+                    [
+                        {
+                            "id": int(t["id"]),
+                            "xy": [float(t["xy"][0]), float(t["xy"][1])],
+                            "velocity": [
+                                float(t["velocity"][0]),
+                                float(t["velocity"][1]),
+                            ],
+                            "score": float(t["score"]),
+                        }
+                        for t in trks
+                    ]
+                )
+
         save_predictions_json(
-            np.asarray(out["boxes"]),
-            np.asarray(out["scores"]),
-            np.asarray(out["valid"]),
-            out_dir,
-            np.asarray(batch["frame_idx"]).tolist(),
-            np.asarray(batch["batch_mask"]),
+            boxes, scores, valid, out_dir, frame_idx, batch_mask,
+            tracks=tracks_per_frame,
         )
-    print(f"Saved predictions JSON to {out_dir}")
+        if args.save_vis and n_frames == 0:
+            save_bev_heatmap(
+                np.asarray(out["heatmap"]), str(Path(out_dir) / "heatmap_first.png")
+            )
+        n_frames += int(batch_mask.sum())
+    print(f"Saved predictions JSON for {n_frames} frames to {out_dir}")
 
 
 if __name__ == "__main__":

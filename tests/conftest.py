@@ -2,24 +2,37 @@
 
 Multi-chip sharding is validated on host CPU devices (no TPU pod is
 available in CI); the driver separately dry-runs the multi-chip path.
+
+IMPORTANT: this environment's `sitecustomize` imports jax at interpreter
+startup, so jax.config has already latched the ambient env (e.g.
+JAX_PLATFORMS=axon - the tunneled TPU) before this conftest runs.
+Setting os.environ here is NOT enough; we must update jax.config
+directly, before any backend is initialized.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # force: the ambient env may point at a TPU
+# XLA_FLAGS is read when the CPU client is created (which hasn't happened
+# yet - backends initialize lazily on first use), so the env var works.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-# XLA compiles are ~0.4 s/op on this host; a persistent cache makes
-# repeated test runs fast (7x on hits, including eager dispatches).
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache"),
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache")
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+assert jax.devices()[0].platform == "cpu", (
+    "tests must run on the virtual CPU mesh, got "
+    f"{jax.devices()[0].platform} - backend initialized before conftest?"
 )
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 
 import numpy as np
 import pytest

@@ -51,8 +51,8 @@ def test_data_parallel_matches_single_device():
         runtime=cfg.runtime,
     )
     losses_1, _ = _run_steps(cfg, make_mesh(1, 1))
-    losses_8, _ = _run_steps(cfg, make_mesh(8, 1))
-    np.testing.assert_allclose(losses_1, losses_8, rtol=2e-4)
+    losses_4, _ = _run_steps(cfg, make_mesh(4, 1))
+    np.testing.assert_allclose(losses_1, losses_4, rtol=2e-4)
 
 
 def test_view_axis_sharding_matches():

@@ -61,7 +61,25 @@ def load_and_transform(
     jitter_p: float = 0.5,
 ) -> np.ndarray:
     """Decode -> resize -> (train-only jitter) -> normalize. Returns
-    [H, W, 3] float32 (channels-last, TPU layout)."""
+    [H, W, 3] float32 (channels-last, TPU layout).
+
+    Uses the native C++ codec (vsta_tpu.native: libjpeg/libpng decode +
+    PIL-compatible triangle resize, fused normalize) when built; falls
+    back to PIL transparently."""
+    from .. import native
+
+    if train:
+        u8 = native.decode_resize_u8(path, img_hw)
+        if u8 is not None:
+            img = Image.fromarray(u8, "RGB")
+            if rng is not None and rng.uniform() < jitter_p:
+                img = color_jitter(img, rng)
+            arr = np.asarray(img, np.float32) / 255.0
+            return (arr - IMAGENET_MEAN) / IMAGENET_STD
+    else:
+        out = native.decode_resize_norm(path, img_hw, IMAGENET_MEAN, IMAGENET_STD)
+        if out is not None:
+            return out
     img = Image.open(path).convert("RGB")
     return transform_pil(img, img_hw, rng=rng, train=train, jitter_p=jitter_p)
 

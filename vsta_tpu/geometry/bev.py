@@ -92,3 +92,30 @@ def bev_sample_coords(
     scale = jnp.array([Wf / float(W_img), Hf / float(H_img)], dtype=uv.dtype)
     feat_xy = uv * scale
     return feat_xy.reshape(H_w2i.shape[:-2] + (Hb, Wb, 2))
+
+
+def bev_sample_coords_with_depth(
+    K: jax.Array,
+    Rt: jax.Array,
+    img_size: Tuple[int, int],
+    feat_size: Tuple[int, int],
+    grid: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """Like :func:`bev_sample_coords`, additionally returning the
+    homogeneous scale w per cell ((..., Hbev, Wbev)).
+
+    w > 0 means the ground point is in FRONT of the camera; w <= 0 means
+    behind (the dehomogenized uv is then a mirrored phantom). The plain
+    warp keeps the reference's unmasked semantics (geometry.py:142-162
+    also doesn't test the sign); new model families (deformable fusion)
+    use w to exclude behind-camera views from attention.
+    """
+    H_img, W_img = img_size
+    Hf, Wf = feat_size
+    Hb, Wb = grid.shape[0], grid.shape[1]
+    H_w2i = compute_homography(K, Rt)
+    pts = grid.reshape(-1, 3)
+    uv, w = project_points(H_w2i, pts)
+    scale = jnp.array([Wf / float(W_img), Hf / float(H_img)], dtype=uv.dtype)
+    feat_xy = (uv * scale).reshape(H_w2i.shape[:-2] + (Hb, Wb, 2))
+    return feat_xy, w.reshape(H_w2i.shape[:-2] + (Hb, Wb))

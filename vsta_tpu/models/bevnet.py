@@ -24,10 +24,11 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..config import Config
-from ..geometry import ground_grid, bev_sample_coords
+from ..geometry import ground_grid
+from ..geometry.bev import bev_sample_coords_with_depth
 from ..ops.warp import fused_warp_proj, warp_views, precompute_warp_lut
 from .encoders.encoder import ViewEncoder
-from .fusion import SimpleFusion, AttentionFusion
+from .fusion import SimpleFusion, AttentionFusion, DeformableFusion
 from .heads import BEVDetectorHead
 
 
@@ -64,6 +65,8 @@ class BEVNet(nn.Module):
     default_box_wh: Tuple[float, float] = (0.6, 0.6)
     warp_impl: str = "fused"
     fusion: str = "concat"
+    attn_heads: int = 4
+    attn_points: int = 4
     dtype: Any = jnp.float32
 
     @classmethod
@@ -79,6 +82,8 @@ class BEVNet(nn.Module):
             default_box_wh=cfg.loss.default_box_wh,
             warp_impl=cfg.model.warp_impl,
             fusion=cfg.model.fusion,
+            attn_heads=cfg.model.attn_heads,
+            attn_points=cfg.model.attn_points,
             dtype=jnp.bfloat16 if cfg.runtime.use_amp else jnp.float32,
         )
 
@@ -109,10 +114,33 @@ class BEVNet(nn.Module):
         _, _, Hf, Wf, C = feats.shape
 
         grid = ground_grid(Hb, Wb, self.bev_bounds)
-        coords = bev_sample_coords(K, Rt, (H, W), (Hf, Wf), grid)
+        coords, depth_w = bev_sample_coords_with_depth(K, Rt, (H, W), (Hf, Wf), grid)
+        pos = positional_encoding(Hb, Wb, self.bev_bounds)
+        pos_bc = jnp.broadcast_to(pos[None], (B, Hb, Wb, 2))
 
         out: Dict[str, jax.Array] = {}
-        if self.fusion == "concat" and self.warp_impl in ("fused", "pallas"):
+        if self.fusion == "deform_attn":
+            # Phase-2 model family: warped-sum query refined by multi-view
+            # deformable cross-attention in image space (residual form).
+            qk = self.param(
+                "query_proj",
+                nn.initializers.lecun_normal(),
+                (V, C, self.bev_proj_ch),
+                jnp.float32,
+            )
+            qb = self.param(
+                "query_proj_bias", nn.initializers.zeros, (self.bev_proj_ch,), jnp.float32
+            )
+            query = fused_warp_proj(feats, coords, qk, qb, compute_dtype=self.dtype)
+            q_in = jnp.concatenate([query, pos_bc.astype(query.dtype)], axis=-1)
+            bev_main = query + DeformableFusion(
+                heads=self.attn_heads,
+                points=self.attn_points,
+                out_ch=self.bev_proj_ch,
+                dtype=self.dtype,
+                name="deform_fusion",
+            )(feats, coords, q_in, depth_w)
+        elif self.fusion == "concat" and self.warp_impl in ("fused", "pallas"):
             kernel = self.param(
                 "view_proj",
                 nn.initializers.lecun_normal(),
@@ -166,7 +194,7 @@ class BEVNet(nn.Module):
                 bev_main = nn.Conv(
                     self.bev_proj_ch, (1, 1), dtype=self.dtype, name="bev_proj"
                 )(fused.astype(self.dtype))
-            elif self.fusion in ("attn", "deform_attn"):
+            elif self.fusion == "attn":
                 coverage = jnp.max(jnp.abs(per_view), axis=-1)  # [B,V,Hb,Wb]
                 fused = AttentionFusion(dtype=self.dtype)(per_view, coverage)
                 bev_main = nn.Conv(
@@ -175,9 +203,7 @@ class BEVNet(nn.Module):
             else:
                 raise ValueError(f"unknown fusion: {self.fusion}")
 
-        pos = positional_encoding(Hb, Wb, self.bev_bounds)
-        pos_b = jnp.broadcast_to(pos[None], (B, Hb, Wb, 2)).astype(bev_main.dtype)
-        bev_feat = jnp.concatenate([bev_main, pos_b], axis=-1)
+        bev_feat = jnp.concatenate([bev_main, pos_bc.astype(bev_main.dtype)], axis=-1)
 
         det = BEVDetectorHead(
             bev_bounds=self.bev_bounds,

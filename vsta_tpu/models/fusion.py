@@ -36,6 +36,132 @@ class SimpleFusion(nn.Module):
         raise ValueError(f"unknown SimpleFusion mode: {self.mode}")
 
 
+class DeformableFusion(nn.Module):
+    """Multi-view deformable cross-attention onto the BEV grid
+    (MVDeTr-style; the reference only declares this capability -
+    project/models/fusion/fusion.py:25-36 warns and falls back to mean).
+
+    Each BEV cell is a query. Its reference point in view v is the
+    projection of the cell's ground point into v's feature map
+    (`coords`). The query predicts, per attention head, `points` 2D
+    sampling offsets and attention logits per (view, point); values are
+    bilinearly sampled from per-view image-space feature maps at
+    refpoint + offset and combined with a softmax over (view, point) -
+    deformable attention in the Deformable-DETR sense, with the view
+    axis playing the role of the multi-scale axis.
+
+    TPU notes: sampling reuses the gather-based bilinear sampler (no
+    dynamic shapes; out-of-image taps read zeros), the softmax is masked
+    by per-view validity (in-image AND in-front-of-camera, via `depth_w`),
+    and everything is one fused XLA program - no per-view Python loop.
+    """
+
+    heads: int = 4
+    points: int = 4
+    out_ch: int = 128
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        feats: jax.Array,
+        coords: jax.Array,
+        query: jax.Array,
+        depth_w: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """feats [B,V,Hf,Wf,C]; coords [B,V,Hb,Wb,2] (feature px);
+        query [B,Hb,Wb,Cq]; depth_w [B,V,Hb,Wb] homogeneous scale (>0 =
+        in front of camera) or None. Returns [B,Hb,Wb,out_ch]."""
+        from ..ops.warp import bilinear_sample
+
+        B, V, Hf, Wf, C = feats.shape
+        Hb, Wb = query.shape[1], query.shape[2]
+        M, P = self.heads, self.points
+        assert self.out_ch % M == 0, "out_ch must divide by heads"
+        hc = self.out_ch // M
+
+        # Per-view value projection, image space (one big MXU matmul).
+        values = nn.Dense(self.out_ch, dtype=self.dtype, name="value")(
+            feats.astype(self.dtype)
+        )  # [B,V,Hf,Wf,M*hc]
+        values = values.reshape(B, V, Hf, Wf, M, hc)
+
+        q = query.astype(self.dtype)
+        # Offset head: zero kernel + ring-pattern bias (Deformable-DETR
+        # init) so training starts from a stable local neighborhood.
+        ring = _ring_offset_init(M, P)  # [M,P,2]
+        off_bias = jnp.tile(ring.reshape(1, M, P, 2), (V, 1, 1, 1)).reshape(-1)
+        offsets = nn.Dense(
+            V * M * P * 2,
+            kernel_init=nn.initializers.zeros,
+            bias_init=lambda key, shape, dtype=jnp.float32: off_bias.astype(dtype),
+            dtype=self.dtype,
+            name="offsets",
+        )(q).reshape(B, Hb, Wb, V, M, P, 2)
+        logits = nn.Dense(
+            V * M * P,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="attn",
+        )(q).reshape(B, Hb, Wb, V, M, P)
+
+        # Sampling locations: refpoint + offset, in feature pixels.
+        base = jnp.transpose(coords, (0, 2, 3, 1, 4))  # [B,Hb,Wb,V,2]
+        loc = base[:, :, :, :, None, None, :] + offsets.astype(
+            base.dtype
+        )  # [B,Hb,Wb,V,M,P,2]
+
+        # Validity: base refpoint finite, inside the feature map, and in
+        # front of the camera.
+        finite = jnp.all(jnp.isfinite(base), axis=-1)  # [B,Hb,Wb,V]
+        inimg = (
+            (base[..., 0] >= -1.0)
+            & (base[..., 0] <= Wf)
+            & (base[..., 1] >= -1.0)
+            & (base[..., 1] <= Hf)
+        )
+        valid = finite & inimg
+        if depth_w is not None:
+            infront = jnp.transpose(depth_w, (0, 2, 3, 1)) > 1e-6
+            valid = valid & infront
+        any_valid = jnp.any(valid, axis=-1)  # [B,Hb,Wb]
+
+        # Masked softmax over (view, point) per head.
+        neg = jnp.asarray(-1e9, logits.dtype)
+        logits = jnp.where(valid[:, :, :, :, None, None], logits, neg)
+        flat = logits.transpose(0, 1, 2, 4, 3, 5).reshape(B, Hb, Wb, M, V * P)
+        attn = jax.nn.softmax(flat, axis=-1).reshape(B, Hb, Wb, M, V, P)
+
+        # Bilinear-sample values per (view, head, point).
+        # loc -> [B,V,M,Hb,Wb,P,2] to vmap over (B,V,M).
+        loc_s = jnp.transpose(loc, (0, 3, 4, 1, 2, 5, 6))
+        vals_s = jnp.transpose(values, (0, 1, 4, 2, 3, 5))  # [B,V,M,Hf,Wf,hc]
+        sample = jax.vmap(jax.vmap(jax.vmap(bilinear_sample)))  # over B,V,M
+        sampled = sample(vals_s, loc_s)  # [B,V,M,Hb,Wb,P,hc]
+
+        attn_s = jnp.transpose(attn, (0, 4, 3, 1, 2, 5))  # [B,V,M,Hb,Wb,P]
+        per_head = jnp.einsum(
+            "bvmhwp,bvmhwpc->bmhwc", attn_s.astype(self.dtype), sampled.astype(self.dtype)
+        )  # [B,M,Hb,Wb,hc]
+        fused = jnp.transpose(per_head, (0, 2, 3, 1, 4)).reshape(B, Hb, Wb, M * hc)
+        fused = fused * any_valid[..., None].astype(fused.dtype)
+        out = nn.Dense(self.out_ch, dtype=self.dtype, name="out")(fused)
+        return out
+
+
+def _ring_offset_init(heads: int, points: int) -> jax.Array:
+    """Deformable-DETR-style initial offsets: head m points along angle
+    2*pi*m/M; point p at radius (p+1). Returns [M, P, 2] float32."""
+    import numpy as np
+
+    ang = 2.0 * np.pi * np.arange(heads) / max(1, heads)
+    dirs = np.stack([np.cos(ang), np.sin(ang)], axis=-1)  # [M,2]
+    radii = np.arange(1, points + 1, dtype=np.float32)  # [P]
+    ring = dirs[:, None, :] * radii[None, :, None]  # [M,P,2]
+    return jnp.asarray(ring, jnp.float32)
+
+
 class AttentionFusion(nn.Module):
     """Per-cell softmax view gating (the reference's declared-but-stubbed
     attention fusion, made real).

@@ -11,7 +11,7 @@ log(default footprint in cells). Decode lives in
 from __future__ import annotations
 
 import math
-from typing import Dict, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

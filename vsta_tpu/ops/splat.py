@@ -121,8 +121,11 @@ def build_targets(
     bw = boxes_world[..., 2]
     bh = boxes_world[..., 3]
 
-    rel_x = (cx - x_min) / res_x
-    rel_y = (cy - y_min) / res_y
+    # normalize-then-scale instead of divide-by-f32-resolution: for the
+    # (symmetric) flagship bounds, on-boundary points like (0, 0) land on
+    # exact integer cell indices in float32 ((c-min)/range is exactly 0.5).
+    rel_x = (cx - x_min) / (x_max - x_min) * float(W)
+    rel_y = (cy - y_min) / (y_max - y_min) * float(H)
     in_bev = (rel_x >= 0) & (rel_x < W) & (rel_y >= 0) & (rel_y < H)
     valid = in_count & in_bev
 

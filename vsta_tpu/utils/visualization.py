@@ -41,8 +41,13 @@ def save_predictions_json(
     save_dir: str,
     frame_indices: Sequence[int],
     batch_mask: Optional[np.ndarray] = None,
+    tracks: Optional[Sequence[list]] = None,
 ):
-    """Write one JSON per frame from padded decoded arrays [B,K,...]."""
+    """Write one JSON per frame from padded decoded arrays [B,K,...].
+
+    `tracks` (optional, per batch row) adds a "tracks" list of
+    {"id","xy","velocity","score"} dicts - the Phase-3 SORT output.
+    """
     os.makedirs(save_dir, exist_ok=True)
     for b, frame_idx in enumerate(frame_indices):
         if batch_mask is not None and not batch_mask[b]:
@@ -53,6 +58,8 @@ def save_predictions_json(
             "boxes": np.asarray(boxes[b][keep], np.float64).tolist(),
             "scores": np.asarray(scores[b][keep], np.float64).tolist(),
         }
+        if tracks is not None:
+            out["tracks"] = tracks[b]
         with open(os.path.join(save_dir, f"frame_{int(frame_idx):06d}.json"), "w") as f:
             json.dump(out, f)
 
