@@ -16,11 +16,24 @@ def main():
     parser.add_argument("--save_vis", action="store_true", default=False)
     parser.add_argument("--resume", action="store_true", default=False)
     parser.add_argument("--work_dir", type=str, default=".")
+    parser.add_argument(
+        "--profile",
+        type=int,
+        default=0,
+        metavar="N",
+        help="capture a jax.profiler trace of the first N train steps "
+        "(written to SAVE_DIR/profile; the reference only had pynvml "
+        "polling, train.py:310-323)",
+    )
     args = parser.parse_args()
 
     cfg = load_config(args.config)
     metrics = run_training(
-        cfg, work_dir=args.work_dir, save_vis=args.save_vis, resume=args.resume
+        cfg,
+        work_dir=args.work_dir,
+        save_vis=args.save_vis,
+        resume=args.resume,
+        profile_steps=args.profile,
     )
     print("[done]", {k: round(v, 4) for k, v in metrics.items()})
 

@@ -31,6 +31,7 @@ class DataConfig:
 class ModelConfig:
     backbone: str = "resnet18"
     pretrained: bool = False
+    pretrained_path: str = ""  # local torch .pth state_dict to convert
     feat_dim: int = 64  # channels of the per-view feature map fed to the warp
     out_index: int = 2  # pyramid level (index into feature pyramid, stride 2^(i+1))
     bev_size: Tuple[int, int] = (120, 360)  # (H, W) cells; YAML stores [C,H,W]
@@ -72,6 +73,7 @@ class TrainConfig:
     accum_steps: int = 1
     patience: int = 0
     seed: int = 0
+    freeze_backbone: bool = False  # reference ViewEncoder.freeze (base.py:26-28)
 
 
 @dataclass(frozen=True)
@@ -171,6 +173,7 @@ def from_dict(raw: Dict[str, Any]) -> Config:
         model=ModelConfig(
             backbone=str(_get(m, "BACKBONE", "resnet18")),
             pretrained=bool(_get(m, "PRETRAINED", False)),
+            pretrained_path=str(_get(m, "PRETRAINED_PATH", "")),
             feat_dim=int(_get(m, "FEAT_DIM", 64)),
             out_index=int(_get(m, "OUT_INDEX", 2)),
             bev_size=bev_hw,
@@ -191,6 +194,7 @@ def from_dict(raw: Dict[str, Any]) -> Config:
             accum_steps=int(_get(t, "ACCUM_STEPS", 1)),
             patience=int(_get(t, "PATIENCE", 0)),
             seed=int(_get(t, "SEED", 0)),
+            freeze_backbone=bool(_get(t, "FREEZE_BACKBONE", False)),
         ),
         loss=LossConfig(
             default_box_wh=(float(default_wh[0]), float(default_wh[1])),

@@ -4,12 +4,14 @@ from .homography import (
     invert_homography,
     project_points,
     pixel_to_world,
+    geom_consistency_error,
 )
 from .bev import (
     ground_grid,
     meters_to_bev_indices,
     bev_indices_to_meters,
     bev_sample_coords,
+    bev_sample_coords_with_depth,
 )
 
 __all__ = [
@@ -18,8 +20,10 @@ __all__ = [
     "invert_homography",
     "project_points",
     "pixel_to_world",
+    "geom_consistency_error",
     "ground_grid",
     "meters_to_bev_indices",
     "bev_indices_to_meters",
     "bev_sample_coords",
+    "bev_sample_coords_with_depth",
 ]

@@ -90,6 +90,31 @@ def project_points(H: jax.Array, pts: jax.Array, w_eps: float = 1e-6):
     return uv, w
 
 
+def geom_consistency_error(
+    K: jax.Array, Rt: jax.Array, points_xy: jax.Array
+) -> jax.Array:
+    """Round-trip projection error: world -> image -> world, mean L1 (m).
+
+    The reference defines this as an (unused) auxiliary loss
+    (project/models/model_wrapper.py:310-340); here it serves as a
+    calibration-sanity diagnostic (scripts/check_dataset.py) and a test
+    oracle for the homography math. Points behind the camera or beyond
+    the horizon are excluded.
+
+    K: (..., 3, 3); Rt: (..., 4, 4); points_xy: (N, 2) ground points.
+    Returns (...) mean round-trip error in meters.
+    """
+    ones = jnp.ones(points_xy.shape[:-1] + (1,), points_xy.dtype)
+    pts_h = jnp.concatenate([points_xy, ones], axis=-1)  # (N, 3)
+    H_w2i = compute_homography(K, Rt)
+    uv, w_fwd = project_points(H_w2i, pts_h)
+    xy_back, valid = pixel_to_world(uv, K, Rt)
+    valid = valid & (w_fwd > 1e-6)
+    err = jnp.linalg.norm(xy_back - points_xy, axis=-1)
+    vf = valid.astype(err.dtype)
+    return jnp.sum(err * vf, axis=-1) / jnp.maximum(jnp.sum(vf, axis=-1), 1.0)
+
+
 def pixel_to_world(uv: jax.Array, K: jax.Array, Rt: jax.Array):
     """Back-project image pixels to ground-plane world coordinates.
 

@@ -21,12 +21,12 @@ from .efficientnet import EfficientNetFeatures
 from .simple import SimpleConvFeatures
 
 
-def build_backbone(name: str, dtype: Any = jnp.float32) -> nn.Module:
+def build_backbone(name: str, dtype: Any = jnp.float32, module_name: str = "backbone") -> nn.Module:
     if name in _RESNET_SPECS:
-        return ResNetFeatures(variant=name, dtype=dtype)
+        return ResNetFeatures(variant=name, dtype=dtype, name=module_name)
     if name.startswith("efficientnet"):
-        return EfficientNetFeatures(variant=name, dtype=dtype)
-    return SimpleConvFeatures(dtype=dtype)
+        return EfficientNetFeatures(variant=name, dtype=dtype, name=module_name)
+    return SimpleConvFeatures(dtype=dtype, name=module_name)
 
 
 class ViewEncoder(nn.Module):

@@ -45,6 +45,7 @@ def run_training(
     dataset: Optional[WildtrackDataset] = None,
     val_dataset: Optional[WildtrackDataset] = None,
     max_epochs: Optional[int] = None,
+    profile_steps: int = 0,
 ) -> Dict[str, float]:
     """Train BEVNet on Wildtrack(-format) data; returns final metrics."""
     work_dir = Path(work_dir)
@@ -110,6 +111,12 @@ def run_training(
 
     no_improve = 0
     global_step = int(state.step)
+    profiling = False
+    if profile_steps > 0:
+        prof_dir = str(save_dir / "profile")
+        jax.profiler.start_trace(prof_dir)
+        profiling = True
+        print(f"[profile] tracing first {profile_steps} steps -> {prof_dir}")
     train_loss_curve, val_f1_curve = [], []
     epochs = max_epochs if max_epochs is not None else cfg.train.epochs
     final_metrics: Dict[str, float] = {}
@@ -133,6 +140,11 @@ def run_training(
                     f"avg_steps/s={step_count / max(1e-6, dt):.2f}"
                 )
             logger.log("train/loss_iter", float(pending), global_step)
+            if profiling and global_step >= profile_steps:
+                jax.block_until_ready(metrics["total_loss"])
+                jax.profiler.stop_trace()
+                profiling = False
+                print("[profile] trace complete")
             if debug_max > 0 and step_count >= debug_max:
                 break
         if pending is not None:
@@ -213,6 +225,9 @@ def run_training(
             print(f"[early-stop] epoch {epoch}: no F1 improvement for {no_improve} evals")
             break
 
+    if profiling:
+        jax.profiler.stop_trace()
+        print("[profile] trace complete (run ended before N steps)")
     save_learning_curves(
         train_loss_curve, val_f1_curve, str(save_dir / "learning_curves.png")
     )

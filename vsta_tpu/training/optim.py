@@ -58,6 +58,22 @@ def build_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransfor
             optax.add_decayed_weights(wd) if wd > 0 else optax.identity(),
             optax.adam(learning_rate=sched),
         )
+    if cfg.train.freeze_backbone:
+        # reference ViewEncoder.freeze (encoders/base.py:26-28): zero out
+        # updates for everything under encoder/backbone.
+        def labels(params):
+            from flax import traverse_util
+
+            flat = traverse_util.flatten_dict(params)
+            out = {
+                k: ("frozen" if k[:2] == ("encoder", "backbone") else "train")
+                for k in flat
+            }
+            return traverse_util.unflatten_dict(out)
+
+        tx = optax.multi_transform(
+            {"train": tx, "frozen": optax.set_to_zero()}, labels
+        )
     if cfg.train.accum_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.train.accum_steps)
     return tx

@@ -57,6 +57,15 @@ def create_state(cfg: Config, tx: optax.GradientTransformation, rng: jax.Array) 
     variables = jax.jit(model.init, static_argnames=("train",))(
         rng, dummy["images"], dummy["K"], dummy["Rt"], train=False
     )
+    if cfg.model.pretrained and cfg.model.pretrained_path:
+        from ..models.encoders.pretrained import load_pretrained_backbone
+
+        try:
+            variables = load_pretrained_backbone(
+                variables, cfg.model.pretrained_path, cfg.model.backbone
+            )
+        except Exception as e:  # tolerant, like the reference (base.py:17-24)
+            print(f"[pretrained] load failed ({e}); training from scratch")
     params = variables["params"]
     batch_stats = variables.get("batch_stats", core.FrozenDict())
     return TrainState(
