@@ -7,6 +7,13 @@ the CPU reference executed directly from /root/reference (its own
 fallback code paths: conv encoder + grid_sample warp + Python decode),
 both on identical synthetic Wildtrack-shaped inputs.
 
+Measurement note: on this rig the TPU is reached through a tunnel whose
+``block_until_ready`` acks at dispatch, not at completion - so naive
+async-loop timing overstates throughput by orders of magnitude. We
+instead chain N data-dependent steps inside ONE jit program ending in a
+scalar fetch (a real device->host round trip), and take the slope
+between two N values to cancel the tunnel latency.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
@@ -18,12 +25,14 @@ import time
 import numpy as np
 
 REFERENCE_PATH = os.environ.get("VSTA_REFERENCE", "/root/reference/project")
-N_WARMUP = 3
-N_ITERS = 20
-BATCH = 2
+BATCH = 8
+N_LO, N_HI = 2, 12
+N_REPEAT = 3
 
 
 def bench_tpu():
+    import functools
+
     import jax
     import jax.numpy as jnp
 
@@ -45,8 +54,7 @@ def bench_tpu():
 
     variables = model.init(jax.random.PRNGKey(0), images, K, Rt, train=False)
 
-    @jax.jit
-    def step(variables, images, K, Rt):
+    def step_scalar(variables, images, K, Rt):
         out = model.apply(variables, images, K, Rt, train=False)
         det = decode_detections(
             out["heatmap"],
@@ -57,18 +65,33 @@ def bench_tpu():
             nms_dist_m=cfg.eval.nms_dist_m,
             max_dets=cfg.eval.max_dets,
         )
-        return det["boxes"], det["scores"], det["valid"], out["heatmap"]
+        return (
+            jnp.sum(det["boxes"]).astype(jnp.float32)
+            + jnp.sum(det["scores"])
+            + jnp.sum(out["heatmap"])
+        )
 
-    for _ in range(N_WARMUP):
-        r = step(variables, images, K, Rt)
-    jax.block_until_ready(r)
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def run_n(n, variables, images, K, Rt):
+        def body(i, acc):
+            # acc folds into the input: serial dependency between steps,
+            # numerically negligible (|acc*1e-30| << 1e-20).
+            s = step_scalar(variables, images + acc * 1e-30, K, Rt)
+            return s
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-    t0 = time.perf_counter()
-    for _ in range(N_ITERS):
-        r = step(variables, images, K, Rt)
-    jax.block_until_ready(r)
-    dt = time.perf_counter() - t0
-    return B * N_ITERS / dt
+    def timed(n):
+        best = float("inf")
+        for _ in range(N_REPEAT):
+            t0 = time.perf_counter()
+            float(run_n(n, variables, images, K, Rt))  # scalar fetch
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    float(run_n(N_LO, variables, images, K, Rt))  # compile lo
+    float(run_n(N_HI, variables, images, K, Rt))  # compile hi
+    dt = (timed(N_HI) - timed(N_LO)) / (N_HI - N_LO)
+    return B / max(dt, 1e-9)
 
 
 def bench_reference_cpu(n_iters=3):
@@ -121,7 +144,7 @@ def bench_reference_cpu(n_iters=3):
 
 # Recorded on this machine (reference @ /root/reference, CPU, fallback
 # encoder since timm is absent); refreshed whenever the live run works.
-RECORDED_REFERENCE_FPS = 0.5
+RECORDED_REFERENCE_FPS = 0.099
 
 
 def main():

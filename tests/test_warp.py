@@ -137,3 +137,60 @@ def test_fused_warp_proj_equals_concat_then_project(rng, cameras):
 
     fused = fused_warp_proj(feats, coords, kernel, bias)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=1e-3, rtol=1e-3)
+
+
+def test_fused_warp_proj_shared_camera_path_matches(rng, cameras):
+    """coords [V,...] (batch-shared cameras, the Wildtrack fast path) must
+    equal the per-batch coords [B,V,...] result exactly in semantics."""
+    Ks, Rts = cameras
+    B, V, C, Cout = 3, 7, 8, 16
+    feats = jnp.array(rng.standard_normal((B, V, FEAT[0], FEAT[1], C)).astype(np.float32))
+    kernel = jnp.array(rng.standard_normal((V, C, Cout)).astype(np.float32) * 0.1)
+    bias = jnp.array(rng.standard_normal((Cout,)).astype(np.float32) * 0.1)
+    grid = ground_grid(BEV[0], BEV[1], BOUNDS)
+    coords_v = bev_sample_coords(jnp.array(Ks), jnp.array(Rts), IMG, FEAT, grid)
+    coords_bv = jnp.broadcast_to(coords_v[None], (B,) + coords_v.shape)
+
+    out_shared = fused_warp_proj(feats, coords_v, kernel, bias)
+    out_perb = fused_warp_proj(feats, coords_bv, kernel, bias)
+    np.testing.assert_allclose(
+        np.asarray(out_shared), np.asarray(out_perb), atol=2e-4, rtol=2e-4
+    )
+
+    # also exercise the project-first branch (C_out < C)
+    kernel2 = jnp.array(rng.standard_normal((V, C, 4)).astype(np.float32) * 0.1)
+    out_shared2 = fused_warp_proj(feats, coords_v, kernel2, None)
+    out_perb2 = fused_warp_proj(feats, coords_bv, kernel2, None)
+    np.testing.assert_allclose(
+        np.asarray(out_shared2), np.asarray(out_perb2), atol=2e-4, rtol=2e-4
+    )
+
+
+def test_bevnet_static_cameras_matches_dynamic(rng, cameras):
+    """BEVNet(static_cameras=True) == BEVNet(static_cameras=False) when the
+    batch genuinely shares one calibration."""
+    import jax
+    from vsta_tpu.models import BEVNet
+
+    Ks, Rts = cameras
+    B, V = 2, 7
+    kwargs = dict(
+        backbone="simple",
+        feat_dim=8,
+        out_index=1,
+        views=V,
+        bev_size=(12, 24),
+        bev_bounds=(-8.0, 8.0, -4.0, 4.0),
+        bev_proj_ch=8,
+    )
+    m_static = BEVNet(static_cameras=True, **kwargs)
+    m_dyn = BEVNet(static_cameras=False, **kwargs)
+    images = jnp.array(rng.standard_normal((B, V, 48, 64, 3)).astype(np.float32))
+    K = jnp.broadcast_to(jnp.array(Ks)[None], (B, V, 3, 3))
+    Rt = jnp.broadcast_to(jnp.array(Rts)[None], (B, V, 4, 4))
+    vars_ = m_static.init(jax.random.PRNGKey(0), images, K, Rt, train=False)
+    out_s = m_static.apply(vars_, images, K, Rt, train=False)
+    out_d = m_dyn.apply(vars_, images, K, Rt, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_s["heatmap"]), np.asarray(out_d["heatmap"]), atol=1e-4, rtol=1e-3
+    )

@@ -39,6 +39,11 @@ class ModelConfig:
     bev_proj_ch: int = 128  # channels after fused view-projection
     warp_impl: str = "fused"  # 'fused' (proj-then-warp) | 'gather' | 'pallas'
     fusion: str = "concat"  # 'concat' | 'mean' | 'max' | 'sum' | 'deform_attn'
+    # Wildtrack's camera rig is fixed: one calibration for the whole
+    # dataset (ref wildtrack_loader.py:288). When True the model uses
+    # batch element 0's K/Rt for all frames, unlocking the shared-camera
+    # warp fast path (the gather index rides the whole batch).
+    static_cameras: bool = True
     # deformable-attention fusion (Phase 2) knobs
     attn_heads: int = 4
     attn_points: int = 4
@@ -181,6 +186,7 @@ def from_dict(raw: Dict[str, Any]) -> Config:
             bev_proj_ch=int(_get(m, "BEV_PROJ_CH", 128)),
             warp_impl=str(_get(m, "WARP_IMPL", "fused")),
             fusion=str(_get(m, "FUSION", "concat")),
+            static_cameras=bool(_get(m, "STATIC_CAMERAS", True)),
             attn_heads=int(_get(m, "ATTN_HEADS", 4)),
             attn_points=int(_get(m, "ATTN_POINTS", 4)),
         ),

@@ -67,6 +67,7 @@ class BEVNet(nn.Module):
     fusion: str = "concat"
     attn_heads: int = 4
     attn_points: int = 4
+    static_cameras: bool = True
     dtype: Any = jnp.float32
 
     @classmethod
@@ -84,6 +85,7 @@ class BEVNet(nn.Module):
             fusion=cfg.model.fusion,
             attn_heads=cfg.model.attn_heads,
             attn_points=cfg.model.attn_points,
+            static_cameras=cfg.model.static_cameras,
             dtype=jnp.bfloat16 if cfg.runtime.use_amp else jnp.float32,
         )
 
@@ -114,9 +116,32 @@ class BEVNet(nn.Module):
         _, _, Hf, Wf, C = feats.shape
 
         grid = ground_grid(Hb, Wb, self.bev_bounds)
-        coords, depth_w = bev_sample_coords_with_depth(K, Rt, (H, W), (Hf, Wf), grid)
+        if self.static_cameras:
+            # Wildtrack rig is fixed - one calibration for the whole
+            # dataset (ref wildtrack_loader.py:288). Using batch element
+            # 0's K/Rt gives [V, Hb, Wb, ...] coords and unlocks the
+            # shared-camera warp fast path (gather indices ride the
+            # whole batch). Set MODEL.STATIC_CAMERAS: false for
+            # per-frame calibrations.
+            coords, depth_w = bev_sample_coords_with_depth(
+                K[0], Rt[0], (H, W), (Hf, Wf), grid
+            )
+        else:
+            coords, depth_w = bev_sample_coords_with_depth(
+                K, Rt, (H, W), (Hf, Wf), grid
+            )
         pos = positional_encoding(Hb, Wb, self.bev_bounds)
         pos_bc = jnp.broadcast_to(pos[None], (B, Hb, Wb, 2))
+
+        # Paths that need per-batch coords ([B, V, ...]) broadcast the
+        # shared ones; fused_warp_proj handles both layouts natively.
+        def coords_b():
+            if coords.ndim == 4:
+                return (
+                    jnp.broadcast_to(coords[None], (B,) + coords.shape),
+                    jnp.broadcast_to(depth_w[None], (B,) + depth_w.shape),
+                )
+            return coords, depth_w
 
         out: Dict[str, jax.Array] = {}
         if self.fusion == "deform_attn":
@@ -133,13 +158,14 @@ class BEVNet(nn.Module):
             )
             query = fused_warp_proj(feats, coords, qk, qb, compute_dtype=self.dtype)
             q_in = jnp.concatenate([query, pos_bc.astype(query.dtype)], axis=-1)
+            coords_bv, depth_bv = coords_b()
             bev_main = query + DeformableFusion(
                 heads=self.attn_heads,
                 points=self.attn_points,
                 out_ch=self.bev_proj_ch,
                 dtype=self.dtype,
                 name="deform_fusion",
-            )(feats, coords, q_in, depth_w)
+            )(feats, coords_bv, q_in, depth_bv)
         elif self.fusion == "concat" and self.warp_impl in ("fused", "pallas"):
             kernel = self.param(
                 "view_proj",
@@ -154,14 +180,14 @@ class BEVNet(nn.Module):
                 from ..ops.warp_pallas import fused_warp_proj_pallas
 
                 bev_main = fused_warp_proj_pallas(
-                    feats, coords, kernel, bias, compute_dtype=self.dtype
+                    feats, coords_b()[0], kernel, bias, compute_dtype=self.dtype
                 )
             else:
                 bev_main = fused_warp_proj(
                     feats, coords, kernel, bias, compute_dtype=self.dtype
                 )
         else:
-            per_view = warp_views(feats, coords)  # [B,V,Hb,Wb,C]
+            per_view = warp_views(feats, coords_b()[0])  # [B,V,Hb,Wb,C]
             if return_per_view:
                 out["bev_per_view"] = per_view
             if self.fusion == "concat":
@@ -209,6 +235,7 @@ class BEVNet(nn.Module):
             bev_bounds=self.bev_bounds,
             bev_size=self.bev_size,
             default_box_wh=self.default_box_wh,
+            dtype=self.dtype,
             name="detector",
         )(bev_feat)
         out.update(det)

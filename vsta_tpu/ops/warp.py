@@ -82,18 +82,78 @@ def _gather_weights_indices(
     return idx, wts
 
 
+def _anchored_taps(
+    coords: jax.Array, feat_hw: Tuple[int, int]
+) -> Tuple[jax.Array, jax.Array]:
+    """2x2-patch anchor + per-tap bilinear weights, zeros-padding semantics.
+
+    coords: (..., 2) float (x, y). Returns (anchor (..., 2) int32 as
+    (ya, xa) clamped in-image, weights (..., 4)) with tap order
+    (ya,xa), (ya,xa+1), (ya+1,xa), (ya+1,xa+1). The weight of tap t is
+    the bilinear hat max(0, 1-|t - coord|) per axis, so taps the clamp
+    shifted away from the true floor get weight 0, and taps landing on
+    the zero-pad row/col multiply zeros - exactly grid_sample's
+    padding_mode='zeros' (reference geometry.py:142-162).
+
+    TPU rationale: ONE gather anchor per sample instead of 4 flat
+    indices - XLA:TPU gather cost is per-index, not per-byte.
+    """
+    Hf, Wf = feat_hw
+    x = coords[..., 0]
+    y = coords[..., 1]
+    finite = jnp.isfinite(x) & jnp.isfinite(y)
+    xs = jnp.where(finite, x, jnp.float32(-10.0)).astype(jnp.float32)
+    ys = jnp.where(finite, y, jnp.float32(-10.0)).astype(jnp.float32)
+    ya = jnp.clip(jnp.floor(ys), 0, Hf - 1).astype(jnp.int32)
+    xa = jnp.clip(jnp.floor(xs), 0, Wf - 1).astype(jnp.int32)
+
+    def tri(a, f):
+        return jnp.maximum(0.0, 1.0 - jnp.abs(a.astype(jnp.float32) - f))
+
+    wy0, wy1 = tri(ya, ys), tri(ya + 1, ys)
+    wx0, wx1 = tri(xa, xs), tri(xa + 1, xs)
+    w = jnp.stack([wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1], axis=-1)
+    return jnp.stack([ya, xa], axis=-1), w
+
+
+def _pad_feat_br(feat: jax.Array) -> jax.Array:
+    """Zero-pad one row (bottom) and one col (right): [..., H+1, W+1, C]."""
+    pad = [(0, 0)] * (feat.ndim - 3) + [(0, 1), (0, 1), (0, 0)]
+    return jnp.pad(feat, pad)
+
+
+def _gather_patches(feat_pad: jax.Array, anchors: jax.Array) -> jax.Array:
+    """Gather 2x2xC patches. feat_pad [Hp, Wp, C]; anchors [N, 2] int32
+    (ya, xa), guaranteed in-bounds for a 2x2 slice. Returns [N, 2, 2, C]."""
+    C = feat_pad.shape[-1]
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(), start_index_map=(0, 1)
+    )
+    return jax.lax.gather(
+        feat_pad,
+        anchors,
+        dn,
+        slice_sizes=(2, 2, C),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    )
+
+
 def bilinear_sample(feat: jax.Array, coords: jax.Array) -> jax.Array:
     """Bilinearly sample a single feature map at float pixel coords.
 
     feat: [Hf, Wf, C] (channels last); coords: (..., 2) as (x, y).
     Returns (..., C). Out-of-image samples read as zeros.
+
+    Implemented as one 2x2xC patch gather per sample (4x fewer gather
+    indices than 4 flat taps - the XLA:TPU gather bottleneck).
     """
     Hf, Wf, C = feat.shape
-    idx, wts = _gather_weights_indices(coords, (Hf, Wf))
-    flat = feat.reshape(Hf * Wf, C)
-    vals = jnp.take(flat, idx.reshape(-1), axis=0).reshape(idx.shape + (C,))
+    anchors, wts = _anchored_taps(coords, (Hf, Wf))
+    lead = coords.shape[:-1]
+    patches = _gather_patches(_pad_feat_br(feat), anchors.reshape(-1, 2))
+    patches = patches.reshape(lead + (4, C))
     return jnp.einsum(
-        "...k,...kc->...c", wts, vals.astype(wts.dtype), precision=_HI
+        "...k,...kc->...c", wts, patches.astype(wts.dtype), precision=_HI
     ).astype(feat.dtype)
 
 
@@ -135,6 +195,39 @@ def warp_views_lut(feats: jax.Array, idx: jax.Array, wts: jax.Array) -> jax.Arra
     return out.astype(feats.dtype)
 
 
+def _warp_pairs_shared(
+    feats_vpbc: jax.Array, anchors: jax.Array, wts: jax.Array, feat_hw: Tuple[int, int]
+) -> jax.Array:
+    """Row-pair gather warp for batch-shared cameras.
+
+    feats_vpbc: [V, Hp*Wp, K] - padded feature maps flattened with the
+                BATCH folded into the channel axis (K = B*C). Gather cost
+                on XLA:TPU is per-index, so sharing one index across the
+                whole batch is ~B times cheaper.
+    anchors:    [V, N, 2] int32 (ya, xa); wts [V, N, 4].
+    Returns [V, N, K] float of compute dtype.
+    """
+    Hf, Wf = feat_hw
+    Wp = Wf + 1
+    K = feats_vpbc.shape[-1]
+    p00 = (anchors[..., 0] * Wp + anchors[..., 1])[..., None]  # [V, N, 1]
+
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0,)
+    )
+
+    def gpair(f, anc):  # f [Ppad, K], anc [N, 1] -> [N, 2, K]
+        return jax.lax.gather(
+            f, anc, dn, slice_sizes=(2, K),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+        )
+
+    top = jax.vmap(gpair)(feats_vpbc, p00)        # [V,N,2,K]: (ya,xa),(ya,xa+1)
+    bot = jax.vmap(gpair)(feats_vpbc, p00 + Wp)   # [V,N,2,K]: (ya+1,xa),(ya+1,xa+1)
+    taps = jnp.concatenate([top, bot], axis=2)    # [V,N,4,K] - tap order matches _anchored_taps
+    return jnp.einsum("vnk,vnkc->vnc", wts.astype(taps.dtype), taps)
+
+
 def fused_warp_proj(
     feats: jax.Array,
     coords: jax.Array,
@@ -143,33 +236,71 @@ def fused_warp_proj(
     *,
     compute_dtype: jnp.dtype = jnp.float32,
 ) -> jax.Array:
-    """Project-then-warp fusion: warp(concat_v feats) @ W + b, restructured.
+    """Warp + ConcatFusion + 1x1-projection, fused: out = sum_v warp(F_v) @ W_v.
 
     feats:       [B, V, Hf, Wf, C]
-    coords:      [B, V, Hb, Wb, 2]
+    coords:      [B, V, Hb, Wb, 2], or [V, Hb, Wb, 2] for batch-shared
+                 cameras (Wildtrack's fixed rig - the dataset emits one
+                 calibration for every frame, ref wildtrack_loader.py:288).
     proj_kernel: [V, C, C_out] - the ConcatFusion 1x1-conv kernel reshaped
                  per view (reference model_wrapper.py:69-73).
     proj_bias:   [C_out] or None.
     Returns [B, Hb, Wb, C_out].
 
-    Correctness: warp is linear with zeros padding, so
-    ``sum_v warp(F_v) @ W_v == sum_v warp(F_v @ W_v)``; projecting first
-    moves the matmul to the small image-space map and shrinks the warped
-    channel count from V*C to C_out.
+    TPU design: XLA gather cost is per-index, so (a) each sample is one
+    anchored patch/row-pair gather, not 4 flat taps; (b) with shared
+    cameras the batch rides the gathered row (K = B*C channels per
+    index); (c) since the warp is linear and commutes with the per-view
+    projection, whichever side is narrower (C vs C_out) is the one
+    warped - the projection einsum stays on the MXU either way.
     """
     B, V, Hf, Wf, C = feats.shape
-    # Per-view 1x1 projection in image space (MXU): [B,V,Hf,Wf,C_out].
-    # bf16 under AMP rides the MXU fast path; full f32 otherwise.
+    C_out = proj_kernel.shape[-1]
     prec = None if compute_dtype == jnp.bfloat16 else _HI
-    proj = jnp.einsum(
-        "bvhwc,vco->bvhwo",
-        feats.astype(compute_dtype),
-        proj_kernel.astype(compute_dtype),
-        precision=prec,
-    )
-    idx, wts = precompute_warp_lut(coords, (Hf, Wf))
-    warped = warp_views_lut(proj, idx, wts)  # [B, V, Hb, Wb, C_out]
-    out = jnp.sum(warped, axis=1)
+    shared = coords.ndim == 4
+
+    if shared:
+        Hb, Wb = coords.shape[1], coords.shape[2]
+        N = Hb * Wb
+        anchors, wts = _anchored_taps(coords.reshape(V, N, 2), (Hf, Wf))
+        if C_out < C:
+            # project first, warp C_out channels
+            proj = jnp.einsum(
+                "bvhwc,vco->vhwbo",
+                feats.astype(compute_dtype),
+                proj_kernel.astype(compute_dtype),
+                precision=prec,
+            )  # [V,Hf,Wf,B,C_out]
+            fp = _pad_feat_br(proj.reshape(V, Hf, Wf, B * C_out))
+            warped = _warp_pairs_shared(
+                fp.reshape(V, (Hf + 1) * (Wf + 1), B * C_out), anchors, wts, (Hf, Wf)
+            )  # [V, N, B*C_out]
+            out = jnp.sum(warped, axis=0).reshape(N, B, C_out)
+        else:
+            # warp raw C channels, project after (per-view kernels summed)
+            fv = jnp.transpose(feats.astype(compute_dtype), (1, 2, 3, 0, 4))
+            fp = _pad_feat_br(fv.reshape(V, Hf, Wf, B * C))
+            warped = _warp_pairs_shared(
+                fp.reshape(V, (Hf + 1) * (Wf + 1), B * C), anchors, wts, (Hf, Wf)
+            ).reshape(V, N, B, C)
+            out = jnp.einsum(
+                "vnbc,vco->nbo",
+                warped,
+                proj_kernel.astype(compute_dtype),
+                precision=prec,
+            )
+        out = jnp.transpose(out, (1, 0, 2)).reshape(B, Hb, Wb, C_out)
+    else:
+        Hb, Wb = coords.shape[2], coords.shape[3]
+        proj = jnp.einsum(
+            "bvhwc,vco->bvhwo",
+            feats.astype(compute_dtype),
+            proj_kernel.astype(compute_dtype),
+            precision=prec,
+        )
+        warped = warp_views(proj, coords)  # patch-gather path, [B,V,Hb,Wb,C_out]
+        out = jnp.sum(warped, axis=1)
+
     if proj_bias is not None:
         out = out + proj_bias.astype(out.dtype)
     return out
