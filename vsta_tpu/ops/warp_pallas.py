@@ -1,24 +1,23 @@
-"""Pallas TPU kernel: fused multi-view homography warp + view-sum.
+"""Pallas TPU kernel: fused multi-view homography warp + view-sum via
+one-hot scatter matmuls (EXPERIMENTAL alternative backend).
 
-The hot op of the whole pipeline (reference analog: the per-(b, v)
-Python loop over kornia/grid_sample, project/models/fusion/geometry.py:
-120-162, plus the ConcatFusion 1x1 conv, model_wrapper.py:69-73).
-
-Formulation: after the per-view 1x1 projection (done outside in XLA,
-where it is a single big MXU matmul over image-space maps), warping is a
-fixed sparse linear map - every BEV cell reads 4 bilinear taps from each
-view. Instead of a data-dependent gather (irregular on TPU), each
-128-cell BEV tile builds an on-the-fly one-hot scatter matrix
-S[tile, P] = sum_k onehot(idx_k) * w_k  (VPU compares against an iota)
+Formulation: after the per-view 1x1 projection (done outside in XLA),
+each 128-cell BEV tile builds an on-the-fly one-hot scatter matrix
+S[tile, P] = sum_k onehot(idx_k) * w_k (VPU compares against an iota)
 and multiplies it with the view's flattened feature map F_v[P, C] on the
 MXU, accumulating over views in registers:
 
     out[tile, :] = sum_v S_v @ F_v            (one matmul per view/tile)
 
-All V projected feature maps live in VMEM for the whole grid sweep
-(V * P * C * 4 bytes ~ 7 MB at flagship shapes), so HBM traffic is one
-read of the features + one write of the BEV output - the op is compute-
-bound on the MXU instead of gather-bound.
+Status: measured on TPU v5e, the dense one-hot formulation spends
+O(N*P*C) MXU FLOPs to emulate a sparse map (~1 PFLOP at flagship
+shapes) and LOSES to the anchored patch-gather / shared-camera row-pair
+design in :mod:`vsta_tpu.ops.warp` (MODEL.WARP_IMPL: "fused", the
+default). Mosaic's dynamic-gather support on this generation is limited
+to 128-lane take_along_axis, which rules out a gather-based kernel; the
+one-hot kernel is kept as a correct, self-contained Pallas reference
+backend (MODEL.WARP_IMPL: "pallas") and a starting point for a future
+scalar-prefetch windowed variant that bounds P per tile.
 """
 
 from __future__ import annotations

@@ -1,4 +1,12 @@
 from .kalman import KalmanFilter2D
-from .sort import SortTracker, Track
+from .metrics import MotAccumulator, evaluate_tracking
+from .sort import SortTracker, Track, track_sequence
 
-__all__ = ["KalmanFilter2D", "SortTracker", "Track"]
+__all__ = [
+    "KalmanFilter2D",
+    "MotAccumulator",
+    "evaluate_tracking",
+    "SortTracker",
+    "Track",
+    "track_sequence",
+]
