@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Overfit-a-few-frames sanity check.
+
+The reference's feasibility plan prescribes an overfit-10-frames
+verification that was never implemented
+(docs/TRAINING_FEASIBILITY_PLAN.md:64-67). This script generates a small
+synthetic Wildtrack scene, trains BEVNet on it, and asserts the model
+can drive detection F1 toward 1.0 - the end-to-end learning-loop proof
+(targets -> loss -> gradients -> decode -> metrics all consistent).
+
+Usage: python scripts/overfit_check.py [--epochs 40] [--fusion concat]
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--epochs", type=int, default=40)
+    parser.add_argument("--frames", type=int, default=10)
+    parser.add_argument("--views", type=int, default=4)
+    parser.add_argument("--fusion", type=str, default="concat")
+    parser.add_argument("--backbone", type=str, default="resnet18")
+    parser.add_argument("--lr", type=float, default=2e-3)
+    parser.add_argument("--work_dir", type=str, default="/tmp/vsta_overfit")
+    parser.add_argument("--target_f1", type=float, default=0.8)
+    args = parser.parse_args()
+
+    import jax
+
+    from vsta_tpu.config import (
+        Config,
+        DataConfig,
+        EvalConfig,
+        LossConfig,
+        ModelConfig,
+        RuntimeConfig,
+        TrainConfig,
+    )
+    from vsta_tpu.data.synthetic import generate_synthetic_wildtrack
+    from vsta_tpu.data.wildtrack import WildtrackDataset
+    from vsta_tpu.training import run_training
+
+    work = Path(args.work_dir)
+    root = generate_synthetic_wildtrack(
+        work / "data",
+        n_frames=args.frames,
+        n_views=args.views,
+        n_people=6,
+        img_hw=(216, 384),
+        seed=0,
+    )
+
+    cfg = Config(
+        data=DataConfig(
+            batch_size=2, img_size=(216, 384), views=args.views, data_root=str(root)
+        ),
+        model=ModelConfig(
+            backbone=args.backbone,
+            feat_dim=64,
+            out_index=1,
+            bev_size=(60, 120),
+            bev_bounds=(-12.0, 12.0, -6.0, 6.0),
+            bev_proj_ch=64,
+            fusion=args.fusion,
+        ),
+        train=TrainConfig(epochs=args.epochs, lr=args.lr, warmup_epochs=2, seed=0),
+        loss=LossConfig(max_objects=16),
+        runtime=RuntimeConfig(num_workers=2, save_dir="ckpt/", output_dir="out/"),
+        eval=EvalConfig(conf_thresh=0.35, nms_dist_m=1.0, interval=2, max_dets=32),
+    )
+
+    # overfit protocol: train and eval on the SAME frames
+    ds = WildtrackDataset(cfg, train=False)  # no jitter: pure memorization
+    t0 = time.time()
+    all_idx = list(range(len(ds)))
+    metrics = run_training(
+        cfg,
+        work_dir=str(work),
+        dataset=ds,
+        val_dataset=ds,
+        train_indices=all_idx,
+        val_indices=all_idx,
+    )
+    dt = time.time() - t0
+    print(f"[overfit] {args.epochs} epochs in {dt:.0f}s -> best F1 {metrics['best_f1']:.3f}")
+    if metrics["best_f1"] >= args.target_f1:
+        print(f"[overfit] PASS (>= {args.target_f1})")
+        return 0
+    print(f"[overfit] FAIL (< {args.target_f1})")
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

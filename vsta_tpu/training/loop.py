@@ -46,6 +46,8 @@ def run_training(
     val_dataset: Optional[WildtrackDataset] = None,
     max_epochs: Optional[int] = None,
     profile_steps: int = 0,
+    train_indices: Optional[list] = None,
+    val_indices: Optional[list] = None,
 ) -> Dict[str, float]:
     """Train BEVNet on Wildtrack(-format) data; returns final metrics."""
     work_dir = Path(work_dir)
@@ -59,6 +61,10 @@ def run_training(
         val_dataset if val_dataset is not None else WildtrackDataset(cfg, train=False)
     )
     idx_train, idx_val = split_train_val(len(train_ds), cfg.train.seed)
+    if train_indices is not None:
+        idx_train = list(train_indices)
+    if val_indices is not None:
+        idx_val = list(val_indices)
     print(
         f"[data] {len(train_ds)} frames -> {len(idx_train)} train / {len(idx_val)} val"
     )
