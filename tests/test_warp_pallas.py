@@ -1,0 +1,108 @@
+"""Pallas warp kernels vs the XLA reference path (interpret mode on CPU;
+the driver/bench exercise the compiled TPU path)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vsta_tpu.geometry import bev_sample_coords, ground_grid
+from vsta_tpu.ops.warp import fused_warp_proj, precompute_warp_lut
+from vsta_tpu.ops.warp_pallas import (
+    fused_warp_proj_pallas,
+    warp_tiles_windowed,
+    warp_views_sum_pallas,
+)
+from jax.experimental.pallas import tpu as pltpu
+
+BOUNDS = (-12.0, 12.0, -6.0, 6.0)
+IMG = (108, 192)
+FEAT = (14, 24)
+BEV = (16, 32)
+
+
+def _setup(rng, cameras, B=2, V=7, C=8, Cout=16):
+    Ks, Rts = cameras
+    feats = jnp.array(rng.standard_normal((B, V, FEAT[0], FEAT[1], C)).astype(np.float32))
+    kernel = jnp.array(rng.standard_normal((V, C, Cout)).astype(np.float32) * 0.1)
+    bias = jnp.array(rng.standard_normal((Cout,)).astype(np.float32) * 0.1)
+    grid = ground_grid(BEV[0], BEV[1], BOUNDS)
+    coords_v = bev_sample_coords(jnp.array(Ks), jnp.array(Rts), IMG, FEAT, grid)
+    return feats, kernel, bias, coords_v
+
+
+def test_windowed_kernel_matches_reference_sum(rng, cameras):
+    """warp_tiles_windowed == sum_v of the XLA LUT warp (interpret mode)."""
+    feats, kernel, bias, coords_v = _setup(rng, cameras)
+    B, V = feats.shape[0], feats.shape[1]
+    N = BEV[0] * BEV[1]
+    idx, wts = precompute_warp_lut(coords_v.reshape(V, N, 2), FEAT)
+
+    # reference: explicit gather per view, summed
+    flat = feats.transpose(1, 2, 3, 0, 4).reshape(V, FEAT[0] * FEAT[1], -1)
+    ref = jnp.zeros((N, flat.shape[-1]), jnp.float32)
+    for v in range(V):
+        vals = jnp.take(flat[v], idx[v].reshape(-1), axis=0).reshape(N, 4, -1)
+        ref = ref + jnp.einsum("nk,nkc->nc", wts[v], vals)
+
+    with pltpu.force_tpu_interpret_mode():
+        out = warp_tiles_windowed(flat, idx, wts)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2, rtol=2e-2)
+
+
+def test_fused_warp_proj_pallas_shared_matches_xla(rng, cameras):
+    feats, kernel, bias, coords_v = _setup(rng, cameras)
+    ref = fused_warp_proj(feats, coords_v, kernel, bias)
+    out = fused_warp_proj_pallas(feats, coords_v, kernel, bias, interpret=True)
+    # bf16 window accumulation: tolerance at bf16 resolution of the output
+    scale = float(jnp.max(jnp.abs(ref))) + 1e-6
+    np.testing.assert_allclose(
+        np.asarray(out) / scale, np.asarray(ref) / scale, atol=2e-2
+    )
+
+
+def test_fused_warp_proj_pallas_dense_matches_xla(rng, cameras):
+    feats, kernel, bias, coords_v = _setup(rng, cameras)
+    B = feats.shape[0]
+    coords_bv = jnp.broadcast_to(coords_v[None], (B,) + coords_v.shape)
+    ref = fused_warp_proj(feats, coords_bv, kernel, bias)
+    out = fused_warp_proj_pallas(feats, coords_bv, kernel, bias, interpret=True)
+    scale = float(jnp.max(jnp.abs(ref))) + 1e-6
+    np.testing.assert_allclose(
+        np.asarray(out) / scale, np.asarray(ref) / scale, atol=2e-2
+    )
+
+
+def test_windowed_kernel_skips_invisible_views(rng, cameras):
+    """A view whose weights are all zero contributes nothing (empty loop)."""
+    feats, kernel, bias, coords_v = _setup(rng, cameras, B=1)
+    V = feats.shape[1]
+    N = BEV[0] * BEV[1]
+    idx, wts = precompute_warp_lut(coords_v.reshape(V, N, 2), FEAT)
+    wts = wts.at[0].set(0.0)  # blind view 0
+    flat = feats.transpose(1, 2, 3, 0, 4).reshape(V, FEAT[0] * FEAT[1], -1)
+    with pltpu.force_tpu_interpret_mode():
+        out = warp_tiles_windowed(flat, idx, wts)
+        out_poisoned = warp_tiles_windowed(flat.at[0].set(1e6), idx, wts)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_poisoned), atol=1e-4)
+
+
+def test_fused_warp_proj_pallas_gradients_match_xla(rng, cameras):
+    """custom_vjp: pallas-forward gradients equal the XLA path's."""
+    feats, kernel, bias, coords_v = _setup(rng, cameras, B=1, V=3)
+
+    def loss_xla(f, k, b):
+        return jnp.sum(fused_warp_proj(f, coords_v[:3], k, b) ** 2)
+
+    def loss_pl(f, k, b):
+        return jnp.sum(
+            fused_warp_proj_pallas(f, coords_v[:3], k, b, interpret=True) ** 2
+        )
+
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(feats[:, :3], kernel[:3], bias)
+    gp = jax.grad(loss_pl, argnums=(0, 1, 2))(feats[:, :3], kernel[:3], bias)
+    for a, b_ in zip(gx, gp):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-6
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b_) / scale, atol=5e-2
+        )

@@ -1,23 +1,35 @@
-"""Pallas TPU kernel: fused multi-view homography warp + view-sum via
-one-hot scatter matmuls (EXPERIMENTAL alternative backend).
+"""Pallas TPU kernels for the fused multi-view homography warp.
 
-Formulation: after the per-view 1x1 projection (done outside in XLA),
-each 128-cell BEV tile builds an on-the-fly one-hot scatter matrix
-S[tile, P] = sum_k onehot(idx_k) * w_k (VPU compares against an iota)
-and multiplies it with the view's flattened feature map F_v[P, C] on the
-MXU, accumulating over views in registers:
+The hot op of the whole pipeline (reference analog: the per-(b, v)
+Python loop over kornia/grid_sample, project/models/fusion/geometry.py:
+120-162, plus the ConcatFusion 1x1 conv, model_wrapper.py:69-73).
 
-    out[tile, :] = sum_v S_v @ F_v            (one matmul per view/tile)
+Two kernels:
 
-Status: measured on TPU v5e, the dense one-hot formulation spends
-O(N*P*C) MXU FLOPs to emulate a sparse map (~1 PFLOP at flagship
-shapes) and LOSES to the anchored patch-gather / shared-camera row-pair
-design in :mod:`vsta_tpu.ops.warp` (MODEL.WARP_IMPL: "fused", the
-default). Mosaic's dynamic-gather support on this generation is limited
-to 128-lane take_along_axis, which rules out a gather-based kernel; the
-one-hot kernel is kept as a correct, self-contained Pallas reference
-backend (MODEL.WARP_IMPL: "pallas") and a starting point for a future
-scalar-prefetch windowed variant that bounds P per tile.
+1. :func:`warp_tiles_windowed` (the production path, shared cameras) -
+   a windowed one-hot scatter-matmul. For each 128-cell BEV tile the
+   bilinear taps of a view cluster inside a narrow band of the flat
+   source map (BEV rows map to image lines under a homography). The
+   kernel walks only the active 512-row windows (per-tile/view bounds
+   are scalar-prefetched), DMAs each window HBM->VMEM, builds the
+   one-hot weight matrix S[tile, WIN] on the VPU with iota compares,
+   and accumulates S @ window on the MXU across views and windows:
+
+       out[tile] = sum_v sum_w S_{v,w} @ F_v[w*WIN : (w+1)*WIN]
+
+   FLOPs scale with the ACTIVE window count (~1-2 per tile/view), not
+   with the full source map - unlike the dense one-hot formulation.
+   The batch rides the channel axis (K = B*C), so the window DMA and
+   the matmul amortize over the whole batch.
+
+2. :func:`warp_views_sum_pallas` (legacy/experimental) - the dense
+   one-hot variant that multiplies against the ENTIRE flattened source
+   map per tile. Correct but O(N*P*K) FLOPs; kept as a self-contained
+   reference backend and for the per-batch-coords case.
+
+Mosaic note: dynamic gather on this TPU generation only supports
+128-lane take_along_axis, so a gather-based kernel is not expressible;
+the scatter-matmul rides the MXU instead.
 """
 
 from __future__ import annotations
@@ -33,20 +45,255 @@ from jax.experimental.pallas import tpu as pltpu
 from .warp import precompute_warp_lut
 
 TILE_N = 128  # BEV cells per grid step
+WIN = 512    # source rows per DMA window
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _warp_kernel(idx_ref, wts_ref, feat_ref, out_ref, *, n_views: int, P: int):
-    """Grid: (B, N // TILE_N).
+# ---------------------------------------------------------------------------
+# windowed kernel (shared cameras)
+# ---------------------------------------------------------------------------
 
-    idx_ref:  [1, V, TILE_N, 4] int32 (flat source index per tap)
-    wts_ref:  [1, V, TILE_N, 4] f32  (0 for out-of-image taps)
-    feat_ref: [1, V, P, C]           (projected per-view features)
-    out_ref:  [1, TILE_N, C]
+
+def _windowed_kernel(
+    first_ref,  # [T, V] int32 (SMEM, scalar-prefetched)
+    last_ref,   # [T, V] int32
+    idx_ref,    # [1, V, TILE_N, 4] int32 (flat source row per tap)
+    wts_ref,    # [1, V, TILE_N, 4] f32 (0 for out-of-image taps)
+    feats_ref,  # [V, P_pad, K] bf16, stays in HBM (ANY)
+    out_ref,    # [TILE_N, K] f32
+    buf_ref,    # scratch VMEM [WIN, K] bf16
+    sem,        # DMA semaphore
+    *,
+    n_views: int,
+):
+    t = pl.program_id(0)
+    K = out_ref.shape[-1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (TILE_N, WIN), 1)
+
+    acc = jnp.zeros((TILE_N, K), jnp.float32)
+    for v in range(n_views):
+        idx_v = idx_ref[0, v]  # [TILE_N, 4]
+        wts_v = wts_ref[0, v]
+        first = first_ref[t, v]
+        last = last_ref[t, v]
+
+        def body(c, acc):
+            copy = pltpu.make_async_copy(
+                feats_ref.at[v, pl.ds(c * WIN, WIN), :], buf_ref, sem
+            )
+            copy.start()
+            copy.wait()
+            base = c * WIN
+            s = jnp.zeros((TILE_N, WIN), jnp.float32)
+            for k in range(4):
+                rel = idx_v[:, k][:, None] - base
+                s = s + jnp.where(iota == rel, wts_v[:, k][:, None], 0.0)
+            return acc + jnp.dot(
+                s.astype(jnp.bfloat16),
+                buf_ref[:, :],
+                preferred_element_type=jnp.float32,
+            )
+
+        acc = jax.lax.fori_loop(first, last + 1, body, acc)
+    out_ref[:, :] = acc
+
+
+def warp_tiles_windowed(
+    feats_vpk: jax.Array, idx: jax.Array, wts: jax.Array
+) -> jax.Array:
+    """sum_v bilinear-warp(feats[v]) for all BEV cells, batch in channels.
+
+    feats_vpk: [V, P, K] bf16/f32 (P = Hf*Wf; K = B*C or C)
+    idx:       [V, N, 4] int32 flat taps; wts [V, N, 4] f32 (0 = masked).
+    Returns [N, K] float32.
     """
+    V, P, K = feats_vpk.shape
+    N = idx.shape[1]
+    P_pad = _round_up(P, WIN)
+    K_pad = _round_up(K, 128)
+    N_pad = _round_up(N, TILE_N)
+    T = N_pad // TILE_N
+
+    feats_vpk = feats_vpk.astype(jnp.bfloat16)
+    if P_pad != P or K_pad != K:
+        feats_vpk = jnp.pad(feats_vpk, ((0, 0), (0, P_pad - P), (0, K_pad - K)))
+    if N_pad != N:
+        idx = jnp.pad(idx, ((0, 0), (0, N_pad - N), (0, 0)))
+        wts = jnp.pad(wts, ((0, 0), (0, N_pad - N), (0, 0)))
+
+    # [T, V, TILE, 4] tiling + per-(tile, view) active window bounds
+    idx_t = idx.reshape(V, T, TILE_N, 4).transpose(1, 0, 2, 3)
+    wts_t = wts.reshape(V, T, TILE_N, 4).transpose(1, 0, 2, 3).astype(jnp.float32)
+    active = wts_t > 0.0
+    lo = jnp.where(active, idx_t, P_pad)
+    hi = jnp.where(active, idx_t, -1)
+    first = jnp.min(lo, axis=(2, 3)) // WIN            # [T, V]
+    last = jnp.max(hi, axis=(2, 3)) // WIN             # [T, V]; -1 // WIN = -1 -> empty loop
+    first = jnp.clip(first, 0, P_pad // WIN - 1).astype(jnp.int32)
+    last = jnp.clip(last, -1, P_pad // WIN - 1).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, V, TILE_N, 4), lambda t, *_: (t, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, V, TILE_N, 4), lambda t, *_: (t, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),  # feats stay in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (TILE_N, K_pad), lambda t, *_: (t, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((WIN, K_pad), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_windowed_kernel, n_views=V),
+        out_shape=jax.ShapeDtypeStruct((N_pad, K_pad), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            # live set: DMA buf (WIN*K bf16) + acc/out (TILE*K f32 each) +
+            # S and iota (TILE*WIN f32) + loop-carry copies; give the
+            # scheduler generous headroom.
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+    )(first, last, idx_t, wts_t, feats_vpk)
+    return out[:N, :K]
+
+
+def fused_warp_proj_pallas(
+    feats: jax.Array,
+    coords: jax.Array,
+    proj_kernel: jax.Array,
+    proj_bias: Optional[jax.Array] = None,
+    *,
+    compute_dtype: jnp.dtype = jnp.float32,
+    interpret: bool = False,
+) -> jax.Array:
+    """Pallas-backed twin of :func:`vsta_tpu.ops.warp.fused_warp_proj`.
+
+    feats [B,V,Hf,Wf,C]; coords [V,Hb,Wb,2] (shared cameras - the
+    windowed kernel) or [B,V,Hb,Wb,2] (dense legacy kernel);
+    proj_kernel [V,C,C_out] -> [B,Hb,Wb,C_out].
+
+    Differentiable: the op's math is identical to the XLA
+    :func:`fused_warp_proj`, so the backward pass is that function's
+    autodiff VJP (custom_vjp) - the Pallas kernel only accelerates the
+    forward.
+    """
+    if proj_bias is None:
+        B = feats.shape[0]
+        proj_bias = jnp.zeros((proj_kernel.shape[-1],), feats.dtype)
+    return _fwp_pallas(feats, coords, proj_kernel, proj_bias, compute_dtype, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _fwp_pallas(feats, coords, proj_kernel, proj_bias, compute_dtype, interpret):
+    return _fwp_pallas_impl(
+        feats, coords, proj_kernel, proj_bias, compute_dtype, interpret
+    )
+
+
+def _fwp_pallas_fwd(feats, coords, proj_kernel, proj_bias, compute_dtype, interpret):
+    out = _fwp_pallas_impl(
+        feats, coords, proj_kernel, proj_bias, compute_dtype, interpret
+    )
+    return out, (feats, coords, proj_kernel, proj_bias)
+
+
+def _fwp_pallas_bwd(compute_dtype, interpret, res, g):
+    from .warp import fused_warp_proj
+
+    feats, coords, proj_kernel, proj_bias = res
+    _, vjp = jax.vjp(
+        lambda f, c, k, b: fused_warp_proj(f, c, k, b, compute_dtype=compute_dtype),
+        feats,
+        coords,
+        proj_kernel,
+        proj_bias,
+    )
+    return vjp(g)
+
+
+_fwp_pallas.defvjp(_fwp_pallas_fwd, _fwp_pallas_bwd)
+
+
+def _fwp_pallas_impl(
+    feats: jax.Array,
+    coords: jax.Array,
+    proj_kernel: jax.Array,
+    proj_bias: Optional[jax.Array],
+    compute_dtype: jnp.dtype,
+    interpret: bool,
+) -> jax.Array:
+    B, V, Hf, Wf, C = feats.shape
+    C_out = proj_kernel.shape[-1]
+    prec = None if compute_dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+
+    if coords.ndim == 4:
+        # Shared cameras: project first (the kernel sums over views, so
+        # the per-view projection must happen before the warp), then run
+        # the windowed kernel with the batch folded into channels.
+        Hb, Wb = coords.shape[1], coords.shape[2]
+        N = Hb * Wb
+        idx, wts = precompute_warp_lut(coords.reshape(V, N, 2), (Hf, Wf))
+        proj = jnp.einsum(
+            "bvhwc,vco->vhwbo",
+            feats.astype(compute_dtype),
+            proj_kernel.astype(compute_dtype),
+            precision=prec,
+        )
+        if interpret:
+            with pltpu.force_tpu_interpret_mode():
+                warped = warp_tiles_windowed(
+                    proj.reshape(V, Hf * Wf, B * C_out), idx, wts
+                )
+        else:
+            warped = warp_tiles_windowed(
+                proj.reshape(V, Hf * Wf, B * C_out), idx, wts
+            )
+        out = warped.reshape(N, B, C_out)
+        out = jnp.transpose(out, (1, 0, 2)).reshape(B, Hb, Wb, C_out)
+    else:
+        # per-batch coords: dense legacy kernel
+        Hb, Wb = coords.shape[2], coords.shape[3]
+        proj = jnp.einsum(
+            "bvhwc,vco->bvhwo",
+            feats.astype(compute_dtype),
+            proj_kernel.astype(compute_dtype),
+            precision=prec,
+        )
+        idx, wts = precompute_warp_lut(coords, (Hf, Wf))
+        feats_flat = proj.reshape(B, V, Hf * Wf, C_out)
+        idx_flat = idx.reshape(B, V, Hb * Wb, 4)
+        wts_flat = wts.reshape(B, V, Hb * Wb, 4)
+        if interpret:
+            with pltpu.force_tpu_interpret_mode():
+                out = warp_views_sum_pallas(feats_flat, idx_flat, wts_flat)
+        else:
+            out = warp_views_sum_pallas(feats_flat, idx_flat, wts_flat)
+        out = out.reshape(B, Hb, Wb, C_out)
+
+    if proj_bias is not None:
+        out = out + proj_bias.astype(out.dtype)
+    return out.astype(compute_dtype)
+
+
+# ---------------------------------------------------------------------------
+# legacy dense one-hot kernel (per-batch coords)
+# ---------------------------------------------------------------------------
+
+
+def _warp_kernel(idx_ref, wts_ref, feat_ref, out_ref, *, n_views: int, P: int):
+    """Grid: (B, N // TILE_N). Dense one-hot scatter-matmul (see module doc)."""
     pcols = jax.lax.broadcasted_iota(jnp.int32, (TILE_N, P), 1)
     acc = jnp.zeros(out_ref.shape[1:], jnp.float32)
     for v in range(n_views):
@@ -64,7 +311,7 @@ def _warp_kernel(idx_ref, wts_ref, feat_ref, out_ref, *, n_views: int, P: int):
 def warp_views_sum_pallas(
     feats_flat: jax.Array, idx: jax.Array, wts: jax.Array
 ) -> jax.Array:
-    """sum_v bilinear-warp(feats[v]) for all BEV cells, fused.
+    """sum_v bilinear-warp(feats[v]) for all BEV cells, dense variant.
 
     feats_flat: [B, V, P, C] (P = Hf*Wf, padded ok)
     idx:        [B, V, N, 4] int32 flat taps (N = Hb*Wb, padded ok)
@@ -112,41 +359,3 @@ def warp_views_sum_pallas(
         ),
     )(idx, wts, feats_flat)
     return out[:, :N, :C]
-
-
-def fused_warp_proj_pallas(
-    feats: jax.Array,
-    coords: jax.Array,
-    proj_kernel: jax.Array,
-    proj_bias: Optional[jax.Array] = None,
-    *,
-    compute_dtype: jnp.dtype = jnp.float32,
-    interpret: bool = False,
-) -> jax.Array:
-    """Drop-in twin of :func:`vsta_tpu.ops.warp.fused_warp_proj` backed by
-    the Pallas kernel. Same contract: feats [B,V,Hf,Wf,C],
-    coords [B,V,Hb,Wb,2], proj_kernel [V,C,C_out] -> [B,Hb,Wb,C_out]."""
-    B, V, Hf, Wf, C = feats.shape
-    Hb, Wb = coords.shape[2], coords.shape[3]
-    prec = None if compute_dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
-    proj = jnp.einsum(
-        "bvhwc,vco->bvhwo",
-        feats.astype(compute_dtype),
-        proj_kernel.astype(compute_dtype),
-        precision=prec,
-    )
-    C_out = proj.shape[-1]
-    idx, wts = precompute_warp_lut(coords, (Hf, Wf))
-    feats_flat = proj.reshape(B, V, Hf * Wf, C_out)
-    idx_flat = idx.reshape(B, V, Hb * Wb, 4)
-    wts_flat = wts.reshape(B, V, Hb * Wb, 4)
-
-    if interpret:
-        with pltpu.force_tpu_interpret_mode():
-            out = warp_views_sum_pallas(feats_flat, idx_flat, wts_flat)
-    else:
-        out = warp_views_sum_pallas(feats_flat, idx_flat, wts_flat)
-    out = out.reshape(B, Hb, Wb, C_out)
-    if proj_bias is not None:
-        out = out + proj_bias.astype(out.dtype)
-    return out.astype(compute_dtype)
