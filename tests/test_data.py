@@ -120,3 +120,74 @@ def test_train_jitter_is_stochastic_eval_is_not(synth_root):
     a = ds_eval[0]["images"]
     b = ds_eval[0]["images"]
     np.testing.assert_array_equal(a, b)  # eval path is deterministic
+
+
+def test_image_cache_decodes_once(tmp_path, monkeypatch):
+    from vsta_tpu.config import Config, DataConfig
+    from vsta_tpu.data import wildtrack as wt
+    from vsta_tpu.data.synthetic import generate_synthetic_wildtrack
+
+    root = generate_synthetic_wildtrack(
+        tmp_path / "wt", n_frames=2, n_views=2, n_people=3, img_hw=(108, 192)
+    )
+    calls = {"n": 0}
+    real = wt.decode_resize_u8
+
+    def counting(path, hw):
+        calls["n"] += 1
+        return real(path, hw)
+
+    monkeypatch.setattr(wt, "decode_resize_u8", counting)
+    cfg = Config(data=DataConfig(data_root=str(root), views=2, img_size=(54, 96)))
+    ds = wt.WildtrackDataset(cfg, train=False)
+    s0 = ds[0]
+    n_first = calls["n"]
+    s0b = ds[0]
+    assert calls["n"] == n_first  # cache hit: no re-decode
+    np.testing.assert_allclose(s0["images"], s0b["images"])
+
+    cfg_off = Config(
+        data=DataConfig(data_root=str(root), views=2, img_size=(54, 96), cache_images=False)
+    )
+    ds2 = wt.WildtrackDataset(cfg_off, train=False)
+    ds2[0]
+    n_a = calls["n"]
+    ds2[0]
+    assert calls["n"] > n_a  # no cache: decodes again
+
+
+def test_position_id_decoding():
+    from vsta_tpu.data.wildtrack import position_id_to_world
+
+    assert position_id_to_world(0) == (-3.0, -9.0)
+    x, y = position_id_to_world(479)
+    assert abs(x - (-3.0 + 0.025 * 479)) < 1e-9 and y == -9.0
+    x, y = position_id_to_world(480)
+    assert x == -3.0 and abs(y - (-9.0 + 0.025)) < 1e-9
+
+
+def test_use_position_id_annotations(tmp_path):
+    import json as _json
+
+    from vsta_tpu.config import Config, DataConfig
+    from vsta_tpu.data.synthetic import generate_synthetic_wildtrack
+    from vsta_tpu.data.wildtrack import WildtrackDataset
+
+    root = generate_synthetic_wildtrack(
+        tmp_path / "wt", n_frames=1, n_views=2, n_people=2, img_hw=(108, 192)
+    )
+    # overwrite annotations with the official positionID layout
+    ann = root / "annotations_positions"
+    fname = next(ann.iterdir())
+    with open(fname, "w") as f:
+        _json.dump([{"positionID": 0, "views": []}, {"positionID": 481, "views": []}], f)
+    cfg = Config(
+        data=DataConfig(
+            data_root=str(root), views=2, img_size=(54, 96), use_position_id=True
+        )
+    )
+    ds = WildtrackDataset(cfg, train=False)
+    centers = ds.centers_per_frame[0]
+    assert centers.shape == (2, 2)
+    np.testing.assert_allclose(centers[0], [-3.0, -9.0], atol=1e-6)
+    np.testing.assert_allclose(centers[1], [-3.0 + 0.025, -9.0 + 0.025], atol=1e-6)

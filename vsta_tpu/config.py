@@ -25,6 +25,15 @@ class DataConfig:
     img_size: Tuple[int, int] = (270, 480)  # (H, W); YAML stores [C,H,W]
     views: int = 7
     data_root: str = "data/Wildtrack"
+    # cache decoded+resized uint8 frames in RAM (Wildtrack at 270x480 is
+    # ~1.1 GB for all 400x7 images): decode once, then epochs are
+    # normalize-only - essential when the host has few cores.
+    cache_images: bool = True
+    # decode official Wildtrack positionID annotations directly to world
+    # coordinates (2.5 cm grid from (-3.0, -9.0) m). False = reference
+    # behavior (project per-view foot points and average,
+    # wildtrack_loader.py:311-363).
+    use_position_id: bool = False
 
 
 @dataclass(frozen=True)
@@ -174,6 +183,8 @@ def from_dict(raw: Dict[str, Any]) -> Config:
             img_size=img_hw,
             views=int(_get(d, "VIEWS", 7)),
             data_root=str(_get(d, "DATA_ROOT", "data/Wildtrack")),
+            cache_images=bool(_get(d, "CACHE_IMAGES", True)),
+            use_position_id=bool(_get(d, "USE_POSITION_ID", False)),
         ),
         model=ModelConfig(
             backbone=str(_get(m, "BACKBONE", "resnet18")),

@@ -98,3 +98,34 @@ def transform_pil(
         img = color_jitter(img, rng)
     arr = np.asarray(img, np.float32) / 255.0
     return (arr - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def decode_resize_u8(path: str, img_hw: Tuple[int, int]) -> np.ndarray:
+    """Decode + resize only (no jitter/normalize): uint8 [H, W, 3].
+
+    Native C++ codec when built, PIL otherwise. This is the cacheable
+    stage of the pipeline (see DATA.CACHE_IMAGES)."""
+    from .. import native
+
+    out = native.decode_resize_u8(path, img_hw)
+    if out is not None:
+        return out
+    img = Image.open(path).convert("RGB")
+    H, W = img_hw
+    if img.size != (W, H):
+        img = img.resize((W, H), Image.BILINEAR)
+    return np.asarray(img, np.uint8)
+
+
+def transform_u8(
+    arr: np.ndarray,
+    rng: Optional[np.random.Generator] = None,
+    train: bool = False,
+    jitter_p: float = 0.5,
+) -> np.ndarray:
+    """(train-only jitter) + normalize a decoded uint8 [H, W, 3] image."""
+    if train and rng is not None and rng.uniform() < jitter_p:
+        img = color_jitter(Image.fromarray(arr, "RGB"), rng)
+        arr = np.asarray(img, np.uint8)
+    out = arr.astype(np.float32) / 255.0
+    return (out - IMAGENET_MEAN) / IMAGENET_STD

@@ -33,7 +33,21 @@ from .calibration import (
     pixel_to_world_np,
     rescale_intrinsics,
 )
-from .transforms import load_and_transform
+from .transforms import decode_resize_u8, transform_u8
+
+# Official Wildtrack positionID grid: 2.5 cm cells, 480 x 1440, origin
+# (-3.0, -9.0) m (the MVDet convention). Decoded when
+# DATA.USE_POSITION_ID is set; the reference instead projects per-view
+# foot points (wildtrack_loader.py:311-363).
+_POS_GRID_W = 480
+_POS_ORIGIN = (-3.0, -9.0)
+_POS_STEP = 0.025
+
+
+def position_id_to_world(pid: int) -> Tuple[float, float]:
+    x = _POS_ORIGIN[0] + _POS_STEP * (pid % _POS_GRID_W)
+    y = _POS_ORIGIN[1] + _POS_STEP * (pid // _POS_GRID_W)
+    return x, y
 
 
 class WildtrackDataset:
@@ -99,6 +113,22 @@ class WildtrackDataset:
         ]
 
         self._rng = np.random.default_rng(cfg.train.seed)
+        # decoded uint8 cache (DATA.CACHE_IMAGES): ~1.1 GB for the full
+        # 400-frame x 7-view Wildtrack at 270x480 - decode once, then
+        # every epoch only jitters + normalizes.
+        self._cache: Dict[Tuple[int, int], np.ndarray] = {}
+        self._cache_enabled = bool(getattr(cfg.data, "cache_images", True))
+
+    def _load_u8(self, view: int, idx: int) -> np.ndarray:
+        key = (view, idx)
+        if self._cache_enabled:
+            hit = self._cache.get(key)
+            if hit is not None:
+                return hit
+        arr = decode_resize_u8(str(self.cam_dirs[view] / self.frame_files[idx]), self.img_hw)
+        if self._cache_enabled:
+            self._cache[key] = arr
+        return arr
 
     def __len__(self) -> int:
         return len(self.frame_files)
@@ -119,6 +149,10 @@ class WildtrackDataset:
                                 centers.append([float(wp[0]), float(wp[1])])
                     elif isinstance(data, list):
                         for person in data:
+                            if self.cfg.data.use_position_id and "positionID" in person:
+                                x, y = position_id_to_world(int(person["positionID"]))
+                                centers.append([x, y])
+                                continue
                             pts = []
                             for view in person.get("views", []):
                                 vnum = int(view.get("viewNum", -1))
@@ -164,12 +198,7 @@ class WildtrackDataset:
     def __getitem__(self, idx: int) -> Dict[str, Any]:
         imgs = np.stack(
             [
-                load_and_transform(
-                    str(self.cam_dirs[v] / self.frame_files[idx]),
-                    self.img_hw,
-                    rng=self._rng,
-                    train=self.train,
-                )
+                transform_u8(self._load_u8(v, idx), rng=self._rng, train=self.train)
                 for v in range(self.views)
             ]
         )  # [V, H, W, 3]
