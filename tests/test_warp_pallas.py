@@ -106,3 +106,58 @@ def test_fused_warp_proj_pallas_gradients_match_xla(rng, cameras):
         np.testing.assert_allclose(
             np.asarray(a) / scale, np.asarray(b_) / scale, atol=5e-2
         )
+
+
+def test_scatter_kernel_matches_indexed_add(rng):
+    """Windowed Pallas scatter == jnp .at[].add oracle (interpret mode)."""
+    from vsta_tpu.ops.warp_pallas import scatter_taps_windowed
+
+    V, N, K, P = 3, 300, 16, 200
+    g = jnp.asarray(rng.standard_normal((V, N, K)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, P - 30, (V, N, 1)), jnp.int32)
+    idx4 = jnp.concatenate([idx, idx + 1, idx + 25, idx + 26], axis=-1)
+    wts = jnp.asarray(rng.random((V, N, 4)), jnp.float32)
+    wts = wts.at[:, ::7].set(0.0)  # some fully-masked cells
+
+    contrib = wts[..., None] * g[:, :, None, :]
+    ref = jnp.zeros((V, P, K)).at[jnp.arange(V)[:, None, None], idx4, :].add(contrib)
+
+    with pltpu.force_tpu_interpret_mode():
+        out = scatter_taps_windowed(g, idx4, wts, P)
+    # bf16 matmul inside the kernel: compare at bf16 tolerance
+    scale = float(jnp.max(jnp.abs(ref))) + 1e-6
+    np.testing.assert_allclose(
+        np.asarray(out) / scale, np.asarray(ref) / scale, atol=3e-2
+    )
+
+
+def test_shared_warp_custom_vjp_matches_direct(rng, cameras):
+    """Gradient through _warp_pairs_shared (custom_vjp) equals the
+    gradient of its raw implementation (XLA autodiff) on CPU."""
+    from vsta_tpu.ops.warp import (
+        _anchored_taps,
+        _pad_feat_br,
+        _warp_pairs_shared,
+        _warp_pairs_shared_impl,
+    )
+
+    Ks, Rts = cameras
+    V, Hf, Wf, K = 3, FEAT[0], FEAT[1], 8
+    feats = jnp.array(rng.standard_normal((V, Hf, Wf, K)).astype(np.float32))
+    fp = _pad_feat_br(feats).reshape(V, (Hf + 1) * (Wf + 1), K)
+    grid = ground_grid(BEV[0], BEV[1], BOUNDS)
+    coords_v = bev_sample_coords(jnp.array(Ks)[:3], jnp.array(Rts)[:3], IMG, FEAT, grid)
+    anchors, wts = _anchored_taps(coords_v.reshape(V, -1, 2), (Hf, Wf))
+
+    def loss_custom(f):
+        return jnp.sum(_warp_pairs_shared(f, anchors, wts, (Hf, Wf)) ** 2)
+
+    def loss_direct(f):
+        return jnp.sum(_warp_pairs_shared_impl(f, anchors, wts, (Hf, Wf)) ** 2)
+
+    g_c = jax.grad(loss_custom)(fp)
+    g_d = jax.grad(loss_direct)(fp)
+    scale = float(jnp.max(jnp.abs(g_d))) + 1e-6
+    np.testing.assert_allclose(
+        np.asarray(g_c) / scale, np.asarray(g_d) / scale, atol=1e-4
+    )

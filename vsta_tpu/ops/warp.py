@@ -31,6 +31,7 @@ Three levels:
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -195,6 +196,14 @@ def warp_views_lut(feats: jax.Array, idx: jax.Array, wts: jax.Array) -> jax.Arra
     return out.astype(feats.dtype)
 
 
+def _flat_taps(anchors: jax.Array, Wp: int) -> jax.Array:
+    """[V, N, 2] (ya, xa) anchors -> [V, N, 4] flat tap indices into the
+    padded (Wp-wide) row-major map, tap order matching _anchored_taps."""
+    p00 = anchors[..., 0] * Wp + anchors[..., 1]
+    return jnp.stack([p00, p00 + 1, p00 + Wp, p00 + Wp + 1], axis=-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _warp_pairs_shared(
     feats_vpbc: jax.Array, anchors: jax.Array, wts: jax.Array, feat_hw: Tuple[int, int]
 ) -> jax.Array:
@@ -206,7 +215,18 @@ def _warp_pairs_shared(
                 whole batch is ~B times cheaper.
     anchors:    [V, N, 2] int32 (ya, xa); wts [V, N, 4].
     Returns [V, N, K] float of compute dtype.
+
+    custom_vjp: XLA lowers the gather's transpose as a per-index
+    scatter-add (~2.2 s/step at flagship shapes on TPU); the backward
+    here uses the windowed Pallas scatter kernel instead
+    (:func:`vsta_tpu.ops.warp_pallas.scatter_taps_windowed`). anchors/wts
+    are treated as constants (calibration is not learned - same stance
+    as the reference, whose geometry has no parameters).
     """
+    return _warp_pairs_shared_impl(feats_vpbc, anchors, wts, feat_hw)
+
+
+def _warp_pairs_shared_impl(feats_vpbc, anchors, wts, feat_hw):
     Hf, Wf = feat_hw
     Wp = Wf + 1
     K = feats_vpbc.shape[-1]
@@ -226,6 +246,38 @@ def _warp_pairs_shared(
     bot = jax.vmap(gpair)(feats_vpbc, p00 + Wp)   # [V,N,2,K]: (ya+1,xa),(ya+1,xa+1)
     taps = jnp.concatenate([top, bot], axis=2)    # [V,N,4,K] - tap order matches _anchored_taps
     return jnp.einsum("vnk,vnkc->vnc", wts.astype(taps.dtype), taps)
+
+
+def _warp_pairs_shared_fwd(feats_vpbc, anchors, wts, feat_hw):
+    out = _warp_pairs_shared_impl(feats_vpbc, anchors, wts, feat_hw)
+    return out, (anchors, wts, feats_vpbc.shape[1])
+
+
+def _warp_pairs_shared_bwd(feat_hw, res, g):
+    # the warp output dtype equals the feats dtype, so g.dtype is the
+    # right cotangent dtype for dfeats
+    anchors, wts, p_pad = res
+    fdtype = g.dtype
+    Wp = feat_hw[1] + 1
+    idx4 = _flat_taps(anchors, Wp)
+    if jax.default_backend() == "tpu":
+        from .warp_pallas import scatter_taps_windowed
+
+        dfeats = scatter_taps_windowed(g, idx4, wts.astype(jnp.float32), p_pad)
+    else:
+        V, N, _ = idx4.shape
+        K = g.shape[-1]
+        contrib = wts[..., None].astype(jnp.float32) * g[:, :, None, :].astype(jnp.float32)
+        dfeats = jnp.zeros((V, p_pad, K), jnp.float32)
+        vix = jnp.arange(V)[:, None, None]
+        dfeats = dfeats.at[vix, idx4, :].add(contrib)
+    import numpy as _np
+
+    d_anchors = _np.zeros(anchors.shape, dtype=jax.dtypes.float0)
+    return dfeats.astype(fdtype), d_anchors, jnp.zeros_like(wts)
+
+
+_warp_pairs_shared.defvjp(_warp_pairs_shared_fwd, _warp_pairs_shared_bwd)
 
 
 def fused_warp_proj(
