@@ -102,3 +102,31 @@ def test_bevnet_deform_attn_forward(rng, cameras):
     out = model.apply(vars_, images, K, Rt, train=False)
     assert out["heatmap"].shape == (B, 16, 32, 1)
     assert bool(jnp.all(jnp.isfinite(out["heatmap"])))
+
+
+def test_bevnet_deform_attn_strided(rng, cameras):
+    """ATTN_STRIDE > 1 keeps output shapes and stays finite."""
+    from vsta_tpu.models import BEVNet
+
+    Ks, Rts = cameras
+    B, V = 1, 7
+    model = BEVNet(
+        backbone="simple",
+        feat_dim=16,
+        out_index=1,
+        views=V,
+        bev_size=(16, 32),
+        bev_bounds=(-8.0, 8.0, -4.0, 4.0),
+        bev_proj_ch=16,
+        fusion="deform_attn",
+        attn_heads=2,
+        attn_points=2,
+        attn_stride=4,
+    )
+    images = jnp.asarray(rng.standard_normal((B, V, 64, 96, 3)), jnp.float32)
+    K = jnp.asarray(Ks, jnp.float32)[None]
+    Rt = jnp.asarray(Rts, jnp.float32)[None]
+    vars_ = model.init(jax.random.PRNGKey(0), images, K, Rt, train=False)
+    out = model.apply(vars_, images, K, Rt, train=False)
+    assert out["heatmap"].shape == (B, 16, 32, 1)
+    assert bool(jnp.all(jnp.isfinite(out["heatmap"])))

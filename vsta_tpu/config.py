@@ -56,6 +56,10 @@ class ModelConfig:
     # deformable-attention fusion (Phase 2) knobs
     attn_heads: int = 4
     attn_points: int = 4
+    # deformable attention runs on a BEV grid strided by this factor and
+    # its residual is bilinearly upsampled: sampling work (the TPU
+    # gather bottleneck) drops by stride^2. 1 = full resolution.
+    attn_stride: int = 4
 
     @property
     def bev_h(self) -> int:
@@ -200,6 +204,7 @@ def from_dict(raw: Dict[str, Any]) -> Config:
             static_cameras=bool(_get(m, "STATIC_CAMERAS", True)),
             attn_heads=int(_get(m, "ATTN_HEADS", 4)),
             attn_points=int(_get(m, "ATTN_POINTS", 4)),
+            attn_stride=int(_get(m, "ATTN_STRIDE", 4)),
         ),
         train=TrainConfig(
             epochs=int(_get(t, "EPOCHS", 50)),

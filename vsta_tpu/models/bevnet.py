@@ -67,6 +67,7 @@ class BEVNet(nn.Module):
     fusion: str = "concat"
     attn_heads: int = 4
     attn_points: int = 4
+    attn_stride: int = 4
     static_cameras: bool = True
     dtype: Any = jnp.float32
 
@@ -85,6 +86,7 @@ class BEVNet(nn.Module):
             fusion=cfg.model.fusion,
             attn_heads=cfg.model.attn_heads,
             attn_points=cfg.model.attn_points,
+            attn_stride=cfg.model.attn_stride,
             static_cameras=cfg.model.static_cameras,
             dtype=jnp.bfloat16 if cfg.runtime.use_amp else jnp.float32,
         )
@@ -159,13 +161,29 @@ class BEVNet(nn.Module):
             query = fused_warp_proj(feats, coords, qk, qb, compute_dtype=self.dtype)
             q_in = jnp.concatenate([query, pos_bc.astype(query.dtype)], axis=-1)
             coords_bv, depth_bv = coords_b()
-            bev_main = query + DeformableFusion(
+            s = max(1, self.attn_stride)
+            if s > 1:
+                # sample the deformable attention on a strided query grid
+                # (gather cost falls by s^2), upsample its residual
+                coords_s = coords_bv[:, :, ::s, ::s]
+                depth_s = depth_bv[:, :, ::s, ::s]
+                q_s = q_in[:, ::s, ::s]
+            else:
+                coords_s, depth_s, q_s = coords_bv, depth_bv, q_in
+            res = DeformableFusion(
                 heads=self.attn_heads,
                 points=self.attn_points,
                 out_ch=self.bev_proj_ch,
                 dtype=self.dtype,
                 name="deform_fusion",
-            )(feats, coords_bv, q_in, depth_bv)
+            )(feats, coords_s, q_s, depth_s)
+            if s > 1:
+                res = jax.image.resize(
+                    res.astype(jnp.float32),
+                    (B, Hb, Wb, self.bev_proj_ch),
+                    method="bilinear",
+                ).astype(query.dtype)
+            bev_main = query + res
         elif self.fusion == "concat" and self.warp_impl in ("fused", "pallas"):
             kernel = self.param(
                 "view_proj",
