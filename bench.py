@@ -25,7 +25,7 @@ import time
 import numpy as np
 
 REFERENCE_PATH = os.environ.get("VSTA_REFERENCE", "/root/reference/project")
-BATCH = 8
+BATCH = 16
 N_LO, N_HI = 2, 12
 N_REPEAT = 3
 
@@ -142,16 +142,17 @@ def bench_reference_cpu(n_iters=3):
         return None
 
 
-# Recorded on this machine (reference @ /root/reference, CPU, fallback
-# encoder since timm is absent); refreshed whenever the live run works.
-RECORDED_REFERENCE_FPS = 0.099
+# Fastest reference-CPU rate observed on this machine (reference @
+# /root/reference, fallback conv encoder since timm is absent). The live
+# measurement fluctuates 4x with host load on this 1-core box; taking
+# max(live, recorded) keeps the reported speedup conservative.
+RECORDED_REFERENCE_FPS = 0.175
 
 
 def main():
     tpu_fps = bench_tpu()
     ref_fps = bench_reference_cpu()
-    if ref_fps is None:
-        ref_fps = RECORDED_REFERENCE_FPS
+    ref_fps = max(ref_fps or 0.0, RECORDED_REFERENCE_FPS)
     print(
         json.dumps(
             {

@@ -115,6 +115,10 @@ class RuntimeConfig:
     output_dir: str = "outputs/"
     use_amp: bool = True  # on TPU: bfloat16 compute, float32 params; no scaler
     debug_max_steps: int = 0
+    # raise on the first NaN in any jitted computation (jax.config
+    # jax_debug_nans) - the TPU-functional analog of the sanitizers the
+    # reference never had (SURVEY.md section 5, race detection)
+    debug_nans: bool = False
     memory_limit_percent: int = 90
     mesh_data: int = 0  # 0 => use all devices on the data axis
     mesh_view: int = 1
@@ -236,6 +240,7 @@ def from_dict(raw: Dict[str, Any]) -> Config:
             output_dir=str(_get(r, "OUTPUT_DIR", "outputs/")),
             use_amp=bool(_get(r, "USE_AMP", True)),
             debug_max_steps=int(_get(r, "DEBUG_MAX_STEPS", 0)),
+            debug_nans=bool(_get(r, "DEBUG_NANS", False)),
             memory_limit_percent=int(_get(r, "MEMORY_LIMIT_PERCENT", 90)),
             mesh_data=int(_get(r, "MESH_DATA", 0)),
             mesh_view=int(_get(r, "MESH_VIEW", 1)),

@@ -50,6 +50,9 @@ def run_training(
     val_indices: Optional[list] = None,
 ) -> Dict[str, float]:
     """Train BEVNet on Wildtrack(-format) data; returns final metrics."""
+    if cfg.runtime.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+        print("[debug] jax_debug_nans enabled")
     work_dir = Path(work_dir)
     save_dir = work_dir / cfg.runtime.save_dir
     out_dir = work_dir / cfg.runtime.output_dir
