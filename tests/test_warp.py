@@ -194,3 +194,26 @@ def test_bevnet_static_cameras_matches_dynamic(rng, cameras):
     np.testing.assert_allclose(
         np.asarray(out_s["heatmap"]), np.asarray(out_d["heatmap"]), atol=1e-4, rtol=1e-3
     )
+
+
+def test_sample_bilinear_many_coord_gradients(rng):
+    """d/d(coords) through the fast-VJP primitive equals the plain
+    autodiff of the patch-gather sampler (learned-offset support)."""
+    import jax
+    from vsta_tpu.ops.warp import bilinear_sample, sample_bilinear_many
+
+    G, Hf, Wf, C, S = 2, 9, 11, 5, 40
+    feats = jnp.array(rng.standard_normal((G, Hf, Wf, C)).astype(np.float32))
+    coords = jnp.array(
+        rng.uniform(0.6, [Wf - 1.6, Hf - 1.6], size=(G, S, 2)).astype(np.float32)
+    )
+
+    def loss_fast(c):
+        return jnp.sum(sample_bilinear_many(feats, c) ** 2)
+
+    def loss_ref(c):
+        return jnp.sum(jax.vmap(bilinear_sample)(feats, c) ** 2)
+
+    g_fast = jax.grad(loss_fast)(coords)
+    g_ref = jax.grad(loss_ref)(coords)
+    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref), rtol=1e-3, atol=1e-4)

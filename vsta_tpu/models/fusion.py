@@ -133,12 +133,16 @@ class DeformableFusion(nn.Module):
         flat = logits.transpose(0, 1, 2, 4, 3, 5).reshape(B, Hb, Wb, M, V * P)
         attn = jax.nn.softmax(flat, axis=-1).reshape(B, Hb, Wb, M, V, P)
 
-        # Bilinear-sample values per (view, head, point).
-        # loc -> [B,V,M,Hb,Wb,P,2] to vmap over (B,V,M).
-        loc_s = jnp.transpose(loc, (0, 3, 4, 1, 2, 5, 6))
+        # Bilinear-sample values per (view, head, point) through the
+        # fast-VJP primitive (windowed Pallas scatter backward on TPU).
+        loc_s = jnp.transpose(loc, (0, 3, 4, 1, 2, 5, 6))  # [B,V,M,Hb,Wb,P,2]
         vals_s = jnp.transpose(values, (0, 1, 4, 2, 3, 5))  # [B,V,M,Hf,Wf,hc]
-        sample = jax.vmap(jax.vmap(jax.vmap(bilinear_sample)))  # over B,V,M
-        sampled = sample(vals_s, loc_s)  # [B,V,M,Hb,Wb,P,hc]
+        from ..ops.warp import sample_bilinear_many
+
+        G = B * V * M
+        sampled = sample_bilinear_many(
+            vals_s.reshape(G, Hf, Wf, hc), loc_s.reshape(G, Hb * Wb * P, 2)
+        ).reshape(B, V, M, Hb, Wb, P, hc)
 
         attn_s = jnp.transpose(attn, (0, 4, 3, 1, 2, 5))  # [B,V,M,Hb,Wb,P]
         per_head = jnp.einsum(

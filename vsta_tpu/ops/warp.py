@@ -158,6 +158,21 @@ def bilinear_sample(feat: jax.Array, coords: jax.Array) -> jax.Array:
     ).astype(feat.dtype)
 
 
+def sample_bilinear_many(feats: jax.Array, coords: jax.Array) -> jax.Array:
+    """Batched bilinear sampling through the fast-VJP primitive.
+
+    feats:  [G, Hf, Wf, C]; coords: [G, S, 2] (x, y) pixel coords.
+    Returns [G, S, C]. Zeros-padding semantics; backward runs the
+    windowed Pallas scatter on TPU (see _warp_pairs_shared) instead of
+    XLA's per-index scatter-add. This is the single sampling primitive
+    behind warp_views and DeformableFusion.
+    """
+    G, Hf, Wf, C = feats.shape
+    anchors, wts = _anchored_taps(coords, (Hf, Wf))
+    fp = _pad_feat_br(feats).reshape(G, (Hf + 1) * (Wf + 1), C)
+    return _warp_pairs_shared(fp, anchors, wts, (Hf, Wf))
+
+
 def warp_views(feats: jax.Array, coords: jax.Array) -> jax.Array:
     """Warp per-view feature maps to BEV (unfused; parity surface).
 
@@ -167,7 +182,12 @@ def warp_views(feats: jax.Array, coords: jax.Array) -> jax.Array:
     Returns [B, V, Hb, Wb, C] per-view BEV maps (reference geometry.py:80-163
     output, transposed to channels-last).
     """
-    return jax.vmap(jax.vmap(bilinear_sample))(feats, coords)
+    B, V, Hf, Wf, C = feats.shape
+    Hb, Wb = coords.shape[2], coords.shape[3]
+    out = sample_bilinear_many(
+        feats.reshape(B * V, Hf, Wf, C), coords.reshape(B * V, Hb * Wb, 2)
+    )
+    return out.reshape(B, V, Hb, Wb, C)
 
 
 def precompute_warp_lut(
@@ -219,14 +239,16 @@ def _warp_pairs_shared(
     custom_vjp: XLA lowers the gather's transpose as a per-index
     scatter-add (~2.2 s/step at flagship shapes on TPU); the backward
     here uses the windowed Pallas scatter kernel instead
-    (:func:`vsta_tpu.ops.warp_pallas.scatter_taps_windowed`). anchors/wts
-    are treated as constants (calibration is not learned - same stance
-    as the reference, whose geometry has no parameters).
+    (:func:`vsta_tpu.ops.warp_pallas.scatter_taps_windowed`). The weight
+    gradient (needed when sampling locations are LEARNED, e.g.
+    deformable attention) is computed exactly by re-gathering the taps;
+    anchors are integer (piecewise-constant) and get no gradient.
     """
     return _warp_pairs_shared_impl(feats_vpbc, anchors, wts, feat_hw)
 
 
-def _warp_pairs_shared_impl(feats_vpbc, anchors, wts, feat_hw):
+def _gather_taps(feats_vpbc, anchors, feat_hw):
+    """Row-pair gather of the 4 bilinear taps: [V, N, 4, K]."""
     Hf, Wf = feat_hw
     Wp = Wf + 1
     K = feats_vpbc.shape[-1]
@@ -244,19 +266,24 @@ def _warp_pairs_shared_impl(feats_vpbc, anchors, wts, feat_hw):
 
     top = jax.vmap(gpair)(feats_vpbc, p00)        # [V,N,2,K]: (ya,xa),(ya,xa+1)
     bot = jax.vmap(gpair)(feats_vpbc, p00 + Wp)   # [V,N,2,K]: (ya+1,xa),(ya+1,xa+1)
-    taps = jnp.concatenate([top, bot], axis=2)    # [V,N,4,K] - tap order matches _anchored_taps
+    return jnp.concatenate([top, bot], axis=2)    # tap order matches _anchored_taps
+
+
+def _warp_pairs_shared_impl(feats_vpbc, anchors, wts, feat_hw):
+    taps = _gather_taps(feats_vpbc, anchors, feat_hw)
     return jnp.einsum("vnk,vnkc->vnc", wts.astype(taps.dtype), taps)
 
 
 def _warp_pairs_shared_fwd(feats_vpbc, anchors, wts, feat_hw):
     out = _warp_pairs_shared_impl(feats_vpbc, anchors, wts, feat_hw)
-    return out, (anchors, wts, feats_vpbc.shape[1])
+    return out, (feats_vpbc, anchors, wts)
 
 
 def _warp_pairs_shared_bwd(feat_hw, res, g):
     # the warp output dtype equals the feats dtype, so g.dtype is the
     # right cotangent dtype for dfeats
-    anchors, wts, p_pad = res
+    feats_vpbc, anchors, wts = res
+    p_pad = feats_vpbc.shape[1]
     fdtype = g.dtype
     Wp = feat_hw[1] + 1
     idx4 = _flat_taps(anchors, Wp)
@@ -271,10 +298,16 @@ def _warp_pairs_shared_bwd(feat_hw, res, g):
         dfeats = jnp.zeros((V, p_pad, K), jnp.float32)
         vix = jnp.arange(V)[:, None, None]
         dfeats = dfeats.at[vix, idx4, :].add(contrib)
+    # exact weight gradient (drives learned sampling offsets, e.g.
+    # deformable attention): d_wts = <taps, g> per tap - one extra gather
+    taps = _gather_taps(feats_vpbc, anchors, feat_hw)
+    d_wts = jnp.einsum(
+        "vnkc,vnc->vnk", taps.astype(jnp.float32), g.astype(jnp.float32)
+    ).astype(wts.dtype)
     import numpy as _np
 
     d_anchors = _np.zeros(anchors.shape, dtype=jax.dtypes.float0)
-    return dfeats.astype(fdtype), d_anchors, jnp.zeros_like(wts)
+    return dfeats.astype(fdtype), d_anchors, d_wts
 
 
 _warp_pairs_shared.defvjp(_warp_pairs_shared_fwd, _warp_pairs_shared_bwd)
