@@ -161,3 +161,34 @@ def test_shared_warp_custom_vjp_matches_direct(rng, cameras):
     np.testing.assert_allclose(
         np.asarray(g_c) / scale, np.asarray(g_d) / scale, atol=1e-4
     )
+
+
+def test_bevnet_pallas_backend_matches_fused(rng, cameras):
+    """BEVNet with WARP_IMPL=pallas (windowed kernel via static cameras)
+    matches the default fused path (interpret mode)."""
+    from vsta_tpu.models import BEVNet
+
+    Ks, Rts = cameras
+    B, V = 2, 7
+    kwargs = dict(
+        backbone="simple",
+        feat_dim=8,
+        out_index=1,
+        views=V,
+        bev_size=(16, 32),
+        bev_bounds=(-8.0, 8.0, -4.0, 4.0),
+        bev_proj_ch=16,
+        static_cameras=True,
+    )
+    m_fused = BEVNet(warp_impl="fused", **kwargs)
+    m_pl = BEVNet(warp_impl="pallas", **kwargs)
+    images = jnp.asarray(rng.standard_normal((B, V, 64, 96, 3)), jnp.float32)
+    K = jnp.broadcast_to(jnp.asarray(Ks, jnp.float32)[None], (B, V, 3, 3))
+    Rt = jnp.broadcast_to(jnp.asarray(Rts, jnp.float32)[None], (B, V, 4, 4))
+    vars_ = m_fused.init(jax.random.PRNGKey(0), images, K, Rt, train=False)
+    ref = m_fused.apply(vars_, images, K, Rt, train=False)
+    with pltpu.force_tpu_interpret_mode():
+        out = m_pl.apply(vars_, images, K, Rt, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out["heatmap"]), np.asarray(ref["heatmap"]), atol=3e-2
+    )

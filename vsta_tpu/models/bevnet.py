@@ -194,11 +194,16 @@ class BEVNet(nn.Module):
             bias = self.param(
                 "view_proj_bias", nn.initializers.zeros, (self.bev_proj_ch,), jnp.float32
             )
-            if self.warp_impl == "pallas":
+            if self.warp_impl == "pallas" and jax.default_backend() == "tpu":
                 from ..ops.warp_pallas import fused_warp_proj_pallas
 
+                # pass coords in whichever layout we have: [V, ...] selects
+                # the windowed kernel, [B, V, ...] the dense legacy one.
+                # (On non-TPU backends Pallas TPU kernels cannot lower;
+                # fall through to the XLA path so the same config runs
+                # everywhere.)
                 bev_main = fused_warp_proj_pallas(
-                    feats, coords_b()[0], kernel, bias, compute_dtype=self.dtype
+                    feats, coords, kernel, bias, compute_dtype=self.dtype
                 )
             else:
                 bev_main = fused_warp_proj(
