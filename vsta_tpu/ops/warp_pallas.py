@@ -58,46 +58,60 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _windowed_kernel(
-    first_ref,  # [T, V] int32 (SMEM, scalar-prefetched)
-    last_ref,   # [T, V] int32
+    win_vc_ref,  # [T, MAXW] int32 (scalar-prefetched): packed v*1024 + c
+    win_n_ref,   # [T, 1] int32: number of active work items for this tile
     idx_ref,    # [1, V, TILE_N, 4] int32 (flat source row per tap)
     wts_ref,    # [1, V, TILE_N, 4] f32 (0 for out-of-image taps)
     feats_ref,  # [V, P_pad, K] bf16, stays in HBM (ANY)
     out_ref,    # [TILE_N, K] f32
-    buf_ref,    # scratch VMEM [WIN, K] bf16
-    sem,        # DMA semaphore
+    buf_ref,    # scratch VMEM [2, WIN, K] bf16 (double buffer)
+    sems,       # DMA semaphores [2]
     *,
     n_views: int,
 ):
     t = pl.program_id(0)
     K = out_ref.shape[-1]
     iota = jax.lax.broadcasted_iota(jnp.int32, (TILE_N, WIN), 1)
+    n_work = win_n_ref[t, 0]
 
-    acc = jnp.zeros((TILE_N, K), jnp.float32)
-    for v in range(n_views):
-        idx_v = idx_ref[0, v]  # [TILE_N, 4]
+    def dma(w, slot):
+        vc = win_vc_ref[t, w]
+        v = vc // 1024
+        c = vc % 1024
+        return pltpu.make_async_copy(
+            feats_ref.at[v, pl.ds(c * WIN, WIN), :], buf_ref.at[slot], sems.at[slot]
+        )
+
+    @pl.when(n_work > 0)
+    def _():
+        dma(0, 0).start()
+
+    def body(w, acc):
+        slot = w % 2
+
+        @pl.when(w + 1 < n_work)
+        def _():
+            dma(w + 1, (w + 1) % 2).start()
+
+        dma(w, slot).wait()
+        vc = win_vc_ref[t, w]
+        v = vc // 1024
+        base = (vc % 1024) * WIN
+        idx_v = idx_ref[0, v]  # [TILE_N, 4] (dynamic view index)
         wts_v = wts_ref[0, v]
-        first = first_ref[t, v]
-        last = last_ref[t, v]
+        s = jnp.zeros((TILE_N, WIN), jnp.float32)
+        for k in range(4):
+            rel = idx_v[:, k][:, None] - base
+            s = s + jnp.where(iota == rel, wts_v[:, k][:, None], 0.0)
+        return acc + jnp.dot(
+            s.astype(jnp.bfloat16),
+            buf_ref[slot],
+            preferred_element_type=jnp.float32,
+        )
 
-        def body(c, acc):
-            copy = pltpu.make_async_copy(
-                feats_ref.at[v, pl.ds(c * WIN, WIN), :], buf_ref, sem
-            )
-            copy.start()
-            copy.wait()
-            base = c * WIN
-            s = jnp.zeros((TILE_N, WIN), jnp.float32)
-            for k in range(4):
-                rel = idx_v[:, k][:, None] - base
-                s = s + jnp.where(iota == rel, wts_v[:, k][:, None], 0.0)
-            return acc + jnp.dot(
-                s.astype(jnp.bfloat16),
-                buf_ref[:, :],
-                preferred_element_type=jnp.float32,
-            )
-
-        acc = jax.lax.fori_loop(first, last + 1, body, acc)
+    acc = jax.lax.fori_loop(
+        0, n_work, body, jnp.zeros((TILE_N, K), jnp.float32)
+    )
     out_ref[:, :] = acc
 
 
@@ -131,9 +145,25 @@ def warp_tiles_windowed(
     lo = jnp.where(active, idx_t, P_pad)
     hi = jnp.where(active, idx_t, -1)
     first = jnp.min(lo, axis=(2, 3)) // WIN            # [T, V]
-    last = jnp.max(hi, axis=(2, 3)) // WIN             # [T, V]; -1 // WIN = -1 -> empty loop
+    last = jnp.max(hi, axis=(2, 3)) // WIN             # [T, V]; -1 // WIN = -1 -> empty
     first = jnp.clip(first, 0, P_pad // WIN - 1).astype(jnp.int32)
     last = jnp.clip(last, -1, P_pad // WIN - 1).astype(jnp.int32)
+
+    # flatten the active (view, window) pairs of each tile into a packed
+    # worklist so the kernel can double-buffer DMA across views
+    nc = P_pad // WIN
+    j = jnp.arange(nc, dtype=jnp.int32)
+    cnt = jnp.maximum(0, last - first + 1)                       # [T, V]
+    cand_c = first[..., None] + j[None, None, :]                  # [T, V, nc]
+    cand_ok = j[None, None, :] < cnt[..., None]
+    cand_v = jnp.broadcast_to(
+        jnp.arange(V, dtype=jnp.int32)[None, :, None], cand_c.shape
+    )
+    vc = jnp.where(cand_ok, cand_v * 1024 + cand_c, jnp.int32(1 << 30))
+    vc_flat = vc.reshape(T, V * nc)
+    vc_sorted = jnp.sort(vc_flat, axis=1)                         # active first
+    win_n = jnp.sum(cand_ok.reshape(T, V * nc), axis=1).astype(jnp.int32)[:, None]
+    win_vc = vc_sorted.astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -151,8 +181,8 @@ def warp_tiles_windowed(
             (TILE_N, K_pad), lambda t, *_: (t, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((WIN, K_pad), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, WIN, K_pad), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
@@ -160,12 +190,12 @@ def warp_tiles_windowed(
         out_shape=jax.ShapeDtypeStruct((N_pad, K_pad), jnp.float32),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
-            # live set: DMA buf (WIN*K bf16) + acc/out (TILE*K f32 each) +
-            # S and iota (TILE*WIN f32) + loop-carry copies; give the
+            # live set: 2x DMA buf (WIN*K bf16) + acc/out (TILE*K f32 each)
+            # + S and iota (TILE*WIN f32) + loop-carry copies; give the
             # scheduler generous headroom.
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
-    )(first, last, idx_t, wts_t, feats_vpk)
+    )(win_vc, win_n, idx_t, wts_t, feats_vpk)
     return out[:N, :K]
 
 
