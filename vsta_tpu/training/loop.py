@@ -130,12 +130,28 @@ def run_training(
     epochs = max_epochs if max_epochs is not None else cfg.train.epochs
     final_metrics: Dict[str, float] = {}
 
+    first_batch_seen = False
     for epoch in range(start_epoch, epochs):
         t0 = time.perf_counter()
         running = 0.0
         step_count = 0
         pending = None  # (loss_device_array) fetched with 1-step lag
         for batch in dl_train:
+            if not first_batch_seen:
+                # first-batch introspection (reference _summarize_batch_gt /
+                # _summarize_calib, train.py:186-213): GT counts and
+                # extrinsics plausibility before burning compute
+                first_batch_seen = True
+                nb = np.asarray(batch["num_boxes"])
+                Rt0 = np.asarray(batch["Rt"])[0]
+                cam_pos = np.stack(
+                    [-(R := Rt0[v, :3, :3]).T @ Rt0[v, :3, 3] for v in range(Rt0.shape[0])]
+                )
+                print(
+                    f"[first-batch] gt/frame min={nb.min()} mean={nb.mean():.1f} "
+                    f"max={nb.max()} | cam heights "
+                    f"{np.round(cam_pos[:, 2], 2).tolist()} m"
+                )
             state, metrics = train_step(state, batch)
             if pending is not None:
                 running += float(pending)
