@@ -34,6 +34,19 @@ def bench_tpu():
     import functools
 
     import jax
+
+    # persistent compile cache (env vars are latched before this process
+    # can set them - sitecustomize imports jax at startup - so update
+    # jax.config directly; backends initialize lazily, so this is early
+    # enough)
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from vsta_tpu.config import load_config
