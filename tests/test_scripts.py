@@ -65,3 +65,56 @@ def test_check_dataset_cli(tmp_path):
     assert "OK" in r.stdout
     assert "round-trip error" in r.stdout
     assert "SUSPICIOUS" not in r.stdout
+
+
+def test_train_and_inference_cli_end_to_end(tmp_path):
+    """The two reference CLIs, driven as real subprocesses on a synthetic
+    Wildtrack tree: train 2 debug steps, then inference --track."""
+    import json as _json
+
+    from vsta_tpu.data.synthetic import generate_synthetic_wildtrack
+
+    root = generate_synthetic_wildtrack(
+        tmp_path / "wt", n_frames=4, n_views=2, n_people=3, img_hw=(108, 192)
+    )
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(
+        f"""
+DATA: {{BATCH_SIZE: 2, IMG_SIZE: [3, 54, 96], VIEWS: 2, DATA_ROOT: "{root}"}}
+MODEL:
+  BACKBONE: "simple"
+  FEAT_DIM: 8
+  OUT_INDEX: 1
+  BEV_SIZE: [32, 12, 24]
+  BEV_BOUNDS: [-12.0, 12.0, -6.0, 6.0]
+  BEV_PROJ_CH: 8
+TRAIN: {{EPOCHS: 1, LR: 0.001}}
+LOSS: {{MAX_OBJECTS: 8}}
+RUNTIME: {{NUM_WORKERS: 1, SAVE_DIR: "ckpt/", OUTPUT_DIR: "out/", USE_AMP: false, DEBUG_MAX_STEPS: 2}}
+EVAL: {{CONF_THRESH: 0.05, NMS_DIST_M: 0.5, INTERVAL: 1, MAX_DETS: 16}}
+"""
+    )
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".jax_cache"))
+
+    r = subprocess.run(
+        [sys.executable, str(REPO / "train.py"), "--config", str(cfg_path),
+         "--work_dir", str(tmp_path)],
+        capture_output=True, text=True, timeout=900, env=env, cwd=str(REPO),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (tmp_path / "ckpt" / "last").exists()
+    assert "first-batch" in r.stdout and "[done]" in r.stdout
+
+    r2 = subprocess.run(
+        [sys.executable, str(REPO / "inference.py"), "--config", str(cfg_path),
+         "--checkpoint", str(tmp_path / "ckpt" / "last"), "--track"],
+        capture_output=True, text=True, timeout=900, env=env,
+        cwd=str(tmp_path),
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    outs = sorted((tmp_path / "out").glob("frame_*.json"))
+    assert len(outs) == 4
+    rec = _json.loads(outs[0].read_text())
+    assert set(rec) >= {"frame_idx", "boxes", "scores", "tracks"}
