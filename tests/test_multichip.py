@@ -80,3 +80,41 @@ def test_dryrun_multichip_entrypoint():
     from __graft_entry__ import dryrun_multichip
 
     dryrun_multichip(8)
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_driver_faithful():
+    """Run the entry contract exactly like the driver: a bare subprocess
+    with the AMBIENT environment (no conftest rescue). This host's
+    sitecustomize latches JAX_PLATFORMS=axon at interpreter startup, which
+    is precisely the failure mode this test guards (round-1 regression:
+    MULTICHIP_r01.json rc=1)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        # strip the conftest's rescue vars so the subprocess sees what the
+        # driver's bare `python -c` would see
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)",
+        ],
+        cwd=repo,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0, (
+        f"driver-style dryrun_multichip(8) failed (rc={proc.returncode}):\n"
+        f"stdout: {proc.stdout[-2000:]}\nstderr: {proc.stderr[-2000:]}"
+    )
+    assert "[dryrun_multichip] ok" in proc.stdout
