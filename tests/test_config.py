@@ -48,3 +48,57 @@ def test_roundtrip_to_dict():
     cfg2 = from_dict(d)
     assert cfg2.model == cfg.model
     assert cfg2.loss == cfg.loss
+
+
+def test_roundtrip_to_dict_all_sections():
+    """from_dict(to_dict(cfg)) must equal cfg EXACTLY, for every section
+    including the new keys and TRACK (VERDICT round 1, item 9)."""
+    from vsta_tpu.config import (
+        Config,
+        DataConfig,
+        EvalConfig,
+        LossConfig,
+        ModelConfig,
+        RuntimeConfig,
+        TrackConfig,
+        TrainConfig,
+    )
+
+    cfg = Config(
+        data=DataConfig(batch_size=3, img_size=(100, 200), views=5,
+                        data_root="/x", cache_images=False, use_position_id=True),
+        model=ModelConfig(backbone="resnet50", pretrained=True,
+                          pretrained_path="/w.pth", feat_dim=96, out_index=1,
+                          bev_size=(60, 180), bev_bounds=(-10.0, 10.0, -5.0, 5.0),
+                          bev_proj_ch=64, warp_impl="pallas", fusion="deform_attn",
+                          static_cameras=False, attn_heads=2, attn_points=8,
+                          attn_stride=2),
+        train=TrainConfig(epochs=7, lr=3e-4, opt="AdamW", weight_decay=1e-5,
+                          lr_scheduler="cosine", warmup_epochs=1, accum_steps=4,
+                          patience=3, seed=42, freeze_backbone=True),
+        loss=LossConfig(default_box_wh=(0.5, 0.7), max_objects=32, hm_alpha=3.0,
+                        hm_beta=2.0, hm_weight=2.0, offset_weight=0.5,
+                        size_weight=0.2, gaussian_min_radius=1, gaussian_iou=0.5),
+        runtime=RuntimeConfig(device="cpu", num_workers=2, save_dir="s/",
+                              output_dir="o/", use_amp=False, debug_max_steps=9,
+                              debug_nans=True, memory_limit_percent=80,
+                              mesh_data=2, mesh_view=2),
+        eval=EvalConfig(conf_thresh=0.3, nms_dist_m=0.7, interval=2, max_dets=64,
+                        baseline_model="m", baseline_f1=0.5,
+                        improvement_threshold=1.0),
+        track=TrackConfig(max_age=9, min_hits=3, match_dist_m=2.0),
+    )
+    cfg2 = from_dict(to_dict(cfg))
+    assert cfg2 == cfg
+
+
+def test_invalid_enums_fail_fast():
+    import pytest as _pytest
+
+    base = {"MODEL": {"FUSION": "bogus"}}
+    with _pytest.raises(ValueError, match="FUSION"):
+        from_dict(base)
+    with _pytest.raises(ValueError, match="WARP_IMPL"):
+        from_dict({"MODEL": {"WARP_IMPL": "cuda"}})
+    with _pytest.raises(ValueError, match="BACKBONE"):
+        from_dict({"MODEL": {"BACKBONE": "vgg99"}})

@@ -191,3 +191,34 @@ def test_use_position_id_annotations(tmp_path):
     assert centers.shape == (2, 2)
     np.testing.assert_allclose(centers[0], [-3.0, -9.0], atol=1e-6)
     np.testing.assert_allclose(centers[1], [-3.0 + 0.025, -9.0 + 0.025], atol=1e-6)
+
+
+def test_prefetcher_early_exit_joins_producer(synth_root):
+    """Breaking out of iteration mid-epoch must not leave the producer
+    thread blocked on a full queue (VERDICT round 1, item 8)."""
+    import time
+
+    ds = WildtrackDataset(_cfg(synth_root), train=False)
+    pf = Prefetcher(ds, list(range(len(ds))), batch_size=1, prefetch=1, num_workers=1)
+    for _ in pf:
+        break  # consumer stops after 1 batch; queue is full behind it
+    t = pf._last_producer
+    t.join(timeout=10.0)
+    assert not t.is_alive(), "producer thread leaked after early consumer exit"
+
+
+def test_shared_image_cache(synth_root):
+    """cache_from= shares one decoded-image cache between the train and
+    eval dataset instances (VERDICT round 1, item 10)."""
+    cfg = _cfg(synth_root)
+    train_ds = WildtrackDataset(cfg, train=True)
+    eval_ds = WildtrackDataset(cfg, train=False, cache_from=train_ds)
+    assert eval_ds._cache is train_ds._cache
+    train_ds[0]
+    assert (0, 0) in eval_ds._cache  # decoded by train, visible to eval
+    # different geometry must NOT share
+    import dataclasses
+
+    cfg2 = dataclasses.replace(cfg, data=dataclasses.replace(cfg.data, img_size=(90, 160)))
+    other = WildtrackDataset(cfg2, train=False, cache_from=train_ds)
+    assert other._cache is not train_ds._cache

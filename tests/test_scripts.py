@@ -30,10 +30,16 @@ def test_geom_consistency_near_zero(cameras):
 def test_geom_consistency_flags_garbage_calibration(cameras):
     Ks, Rts = cameras
     bad_K = np.copy(Ks)
-    bad_K[0, 0, 0] = 1.0  # focal length of 1 pixel: round trip collapses
+    # rank-deficient K: the homography goes singular, the pinv fallback
+    # engages, and the round trip no longer closes
+    bad_K[0, 0, :] = 0.0
     pts = np.array([[2.0, 1.0], [-3.0, 0.5]], np.float32)
     err_good = geom_consistency_error(jnp.asarray(Ks[0]), jnp.asarray(Rts[0]), jnp.asarray(pts))
     assert float(err_good) < 1e-2
+    err_bad = geom_consistency_error(
+        jnp.asarray(bad_K[0]), jnp.asarray(Rts[0]), jnp.asarray(pts)
+    )
+    assert float(err_bad) > 1e-2, "garbage K must exceed the SUSPICIOUS threshold"
 
 
 def test_check_dataset_cli(tmp_path):

@@ -12,7 +12,6 @@ MODEL.FUSION, EVAL.MAX_DETS, RUNTIME.MESH_*, TRAIN.SEED.
 
 from __future__ import annotations
 
-import dataclasses
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -160,6 +159,40 @@ def _get(d: Dict[str, Any], key: str, default: Any) -> Any:
     return default if v is None else v
 
 
+VALID_FUSION = ("concat", "mean", "max", "sum", "deform_attn")
+VALID_WARP_IMPL = ("fused", "gather", "pallas")
+VALID_BACKBONES = (
+    "simple",
+    "resnet18",
+    "resnet34",
+    "resnet50",
+    "resnet101",
+    "efficientnet_b0",
+)
+
+
+def validate(cfg: Config) -> Config:
+    """Fail fast on invalid enum-like values instead of erroring deep
+    inside model construction (VERDICT round 1, item 9)."""
+    if cfg.model.fusion not in VALID_FUSION:
+        raise ValueError(
+            f"MODEL.FUSION={cfg.model.fusion!r} is not one of {VALID_FUSION}"
+        )
+    if cfg.model.warp_impl not in VALID_WARP_IMPL:
+        raise ValueError(
+            f"MODEL.WARP_IMPL={cfg.model.warp_impl!r} is not one of {VALID_WARP_IMPL}"
+        )
+    if cfg.model.backbone not in VALID_BACKBONES:
+        raise ValueError(
+            f"MODEL.BACKBONE={cfg.model.backbone!r} is not one of {VALID_BACKBONES}"
+        )
+    if cfg.data.views < 1:
+        raise ValueError(f"DATA.VIEWS must be >= 1, got {cfg.data.views}")
+    if cfg.model.attn_stride < 1:
+        raise ValueError(f"MODEL.ATTN_STRIDE must be >= 1, got {cfg.model.attn_stride}")
+    return cfg
+
+
 def from_dict(raw: Dict[str, Any]) -> Config:
     """Build a Config from a reference-schema YAML dict."""
     raw = raw or {}
@@ -185,7 +218,7 @@ def from_dict(raw: Dict[str, Any]) -> Config:
 
     default_wh = _get(l, "DEFAULT_BOX_WH", [0.6, 0.6])
 
-    return Config(
+    cfg = Config(
         data=DataConfig(
             batch_size=int(_get(d, "BATCH_SIZE", 2)),
             img_size=img_hw,
@@ -260,6 +293,7 @@ def from_dict(raw: Dict[str, Any]) -> Config:
             match_dist_m=float(_get(k, "MATCH_DIST_M", 1.0)),
         ),
     )
+    return validate(cfg)
 
 
 def load_config(path: str) -> Config:
@@ -270,17 +304,24 @@ def load_config(path: str) -> Config:
 
 
 def to_dict(cfg: Config) -> Dict[str, Any]:
-    """Round-trip a Config back to the reference YAML schema."""
+    """Round-trip a Config back to the reference YAML schema.
+
+    Emits EVERY key `from_dict` reads, so `from_dict(to_dict(cfg)) == cfg`
+    holds for all sections (tested in tests/test_config.py).
+    """
     return {
         "DATA": {
             "BATCH_SIZE": cfg.data.batch_size,
             "IMG_SIZE": [3, cfg.data.img_size[0], cfg.data.img_size[1]],
             "VIEWS": cfg.data.views,
             "DATA_ROOT": cfg.data.data_root,
+            "CACHE_IMAGES": cfg.data.cache_images,
+            "USE_POSITION_ID": cfg.data.use_position_id,
         },
         "MODEL": {
             "BACKBONE": cfg.model.backbone,
             "PRETRAINED": cfg.model.pretrained,
+            "PRETRAINED_PATH": cfg.model.pretrained_path,
             "FEAT_DIM": cfg.model.feat_dim,
             "OUT_INDEX": cfg.model.out_index,
             "BEV_SIZE": [32, cfg.model.bev_size[0], cfg.model.bev_size[1]],
@@ -288,8 +329,23 @@ def to_dict(cfg: Config) -> Dict[str, Any]:
             "BEV_PROJ_CH": cfg.model.bev_proj_ch,
             "WARP_IMPL": cfg.model.warp_impl,
             "FUSION": cfg.model.fusion,
+            "STATIC_CAMERAS": cfg.model.static_cameras,
+            "ATTN_HEADS": cfg.model.attn_heads,
+            "ATTN_POINTS": cfg.model.attn_points,
+            "ATTN_STRIDE": cfg.model.attn_stride,
         },
-        "TRAIN": dataclasses.asdict(cfg.train) | {},
+        "TRAIN": {
+            "EPOCHS": cfg.train.epochs,
+            "LR": cfg.train.lr,
+            "OPT": cfg.train.opt,
+            "WEIGHT_DECAY": cfg.train.weight_decay,
+            "LR_SCHEDULER": cfg.train.lr_scheduler,
+            "WARMUP_EPOCHS": cfg.train.warmup_epochs,
+            "ACCUM_STEPS": cfg.train.accum_steps,
+            "PATIENCE": cfg.train.patience,
+            "SEED": cfg.train.seed,
+            "FREEZE_BACKBONE": cfg.train.freeze_backbone,
+        },
         "LOSS": {
             "DEFAULT_BOX_WH": list(cfg.loss.default_box_wh),
             "MAX_OBJECTS": cfg.loss.max_objects,
@@ -308,7 +364,10 @@ def to_dict(cfg: Config) -> Dict[str, Any]:
             "OUTPUT_DIR": cfg.runtime.output_dir,
             "USE_AMP": cfg.runtime.use_amp,
             "DEBUG_MAX_STEPS": cfg.runtime.debug_max_steps,
+            "DEBUG_NANS": cfg.runtime.debug_nans,
             "MEMORY_LIMIT_PERCENT": cfg.runtime.memory_limit_percent,
+            "MESH_DATA": cfg.runtime.mesh_data,
+            "MESH_VIEW": cfg.runtime.mesh_view,
         },
         "EVAL": {
             "CONF_THRESH": cfg.eval.conf_thresh,
@@ -318,5 +377,10 @@ def to_dict(cfg: Config) -> Dict[str, Any]:
             "BASELINE_MODEL": cfg.eval.baseline_model,
             "BASELINE_F1": cfg.eval.baseline_f1,
             "IMPROVEMENT_THRESHOLD": cfg.eval.improvement_threshold,
+        },
+        "TRACK": {
+            "MAX_AGE": cfg.track.max_age,
+            "MIN_HITS": cfg.track.min_hits,
+            "MATCH_DIST_M": cfg.track.match_dist_m,
         },
     }

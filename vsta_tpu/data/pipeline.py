@@ -93,6 +93,19 @@ class Prefetcher:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def _put(item) -> bool:
+            # Never block forever: the consumer may break out mid-epoch
+            # (e.g. DEBUG_MAX_STEPS) leaving the queue full; re-check
+            # `stop` between bounded put attempts so the thread exits
+            # promptly instead of leaking (VERDICT round 1, item 8).
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             with ThreadPoolExecutor(self.num_workers) as pool:
                 for chunk, n_real in batches:
@@ -105,11 +118,13 @@ class Prefetcher:
                     batch["batch_mask"] = mask
                     if self.device_put is not None:
                         batch = self.device_put(batch)
-                    q.put(batch)
-            q.put(None)
+                    if not _put(batch):
+                        return
+            _put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
+        self._last_producer = t  # exposed for tests/diagnostics
         try:
             while True:
                 item = q.get()
@@ -118,3 +133,9 @@ class Prefetcher:
                 yield item
         finally:
             stop.set()
+            # drain anything still queued so a blocked _put wakes up
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass

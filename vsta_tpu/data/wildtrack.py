@@ -53,7 +53,12 @@ def position_id_to_world(pid: int) -> Tuple[float, float]:
 class WildtrackDataset:
     """Multi-view frame dataset; __getitem__ returns numpy dicts."""
 
-    def __init__(self, cfg: Config, train: bool = False):
+    def __init__(
+        self,
+        cfg: Config,
+        train: bool = False,
+        cache_from: Optional["WildtrackDataset"] = None,
+    ):
         self.cfg = cfg
         self.train = train
         self.data_root = Path(cfg.data.data_root).resolve()
@@ -118,6 +123,15 @@ class WildtrackDataset:
         # every epoch only jitters + normalizes.
         self._cache: Dict[Tuple[int, int], np.ndarray] = {}
         self._cache_enabled = bool(getattr(cfg.data, "cache_images", True))
+        # Train and eval instances read the same files at the same size:
+        # share one decoded cache (dict mutation is GIL-atomic) instead of
+        # holding two full copies of the dataset in RAM.
+        if (
+            cache_from is not None
+            and cache_from.data_root == self.data_root
+            and cache_from.img_hw == self.img_hw
+        ):
+            self._cache = cache_from._cache
 
     def _load_u8(self, view: int, idx: int) -> np.ndarray:
         key = (view, idx)

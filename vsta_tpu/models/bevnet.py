@@ -31,6 +31,11 @@ from .encoders.encoder import ViewEncoder
 from .fusion import SimpleFusion, AttentionFusion, DeformableFusion
 from .heads import BEVDetectorHead
 
+# Test hook: BEVNet dispatches to the Pallas warp only on real TPU
+# backends; setting this forces the pallas path in interpret mode on
+# other platforms so its BEVNet wiring has CPU test coverage.
+FORCE_PALLAS_INTERPRET = False
+
 
 def positional_encoding(
     bev_h: int, bev_w: int, bounds: Tuple[float, float, float, float]
@@ -194,16 +199,22 @@ class BEVNet(nn.Module):
             bias = self.param(
                 "view_proj_bias", nn.initializers.zeros, (self.bev_proj_ch,), jnp.float32
             )
-            if self.warp_impl == "pallas" and jax.default_backend() == "tpu":
+            on_tpu = jax.default_backend() == "tpu"
+            if self.warp_impl == "pallas" and (on_tpu or FORCE_PALLAS_INTERPRET):
                 from ..ops.warp_pallas import fused_warp_proj_pallas
 
                 # pass coords in whichever layout we have: [V, ...] selects
                 # the windowed kernel, [B, V, ...] the dense legacy one.
                 # (On non-TPU backends Pallas TPU kernels cannot lower;
                 # fall through to the XLA path so the same config runs
-                # everywhere.)
+                # everywhere, unless tests force interpret mode.)
                 bev_main = fused_warp_proj_pallas(
-                    feats, coords, kernel, bias, compute_dtype=self.dtype
+                    feats,
+                    coords,
+                    kernel,
+                    bias,
+                    compute_dtype=self.dtype,
+                    interpret=not on_tpu,
                 )
             else:
                 bev_main = fused_warp_proj(

@@ -290,7 +290,13 @@ def _warp_pairs_shared_bwd(feat_hw, res, g):
     if jax.default_backend() == "tpu":
         from .warp_pallas import scatter_taps_windowed
 
-        dfeats = scatter_taps_windowed(g, idx4, wts.astype(jnp.float32), p_pad)
+        # g's dtype IS the compute dtype (feats were cast before the warp):
+        # bf16 under AMP, f32 otherwise - keep the scatter matmuls at the
+        # same precision instead of a silent bf16 floor (ADVICE round 1).
+        scatter_dtype = jnp.bfloat16 if fdtype == jnp.bfloat16 else jnp.float32
+        dfeats = scatter_taps_windowed(
+            g, idx4, wts.astype(jnp.float32), p_pad, compute_dtype=scatter_dtype
+        )
     else:
         V, N, _ = idx4.shape
         K = g.shape[-1]

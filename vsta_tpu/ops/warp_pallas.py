@@ -58,16 +58,18 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _windowed_kernel(
-    win_vc_ref,  # [T, MAXW] int32 (scalar-prefetched): packed v*1024 + c
+    win_vc_ref,  # [T, MAXW] int32 (scalar-prefetched): packed v*pack + c
     win_n_ref,   # [T, 1] int32: number of active work items for this tile
     idx_ref,    # [1, V, TILE_N, 4] int32 (flat source row per tap)
     wts_ref,    # [1, V, TILE_N, 4] f32 (0 for out-of-image taps)
-    feats_ref,  # [V, P_pad, K] bf16, stays in HBM (ANY)
+    feats_ref,  # [V, P_pad, K] compute dtype, stays in HBM (ANY)
     out_ref,    # [TILE_N, K] f32
-    buf_ref,    # scratch VMEM [2, WIN, K] bf16 (double buffer)
+    buf_ref,    # scratch VMEM [2, WIN, K] compute dtype (double buffer)
     sems,       # DMA semaphores [2]
     *,
     n_views: int,
+    pack: int,
+    compute_dtype,
 ):
     t = pl.program_id(0)
     K = out_ref.shape[-1]
@@ -76,8 +78,8 @@ def _windowed_kernel(
 
     def dma(w, slot):
         vc = win_vc_ref[t, w]
-        v = vc // 1024
-        c = vc % 1024
+        v = vc // pack
+        c = vc % pack
         return pltpu.make_async_copy(
             feats_ref.at[v, pl.ds(c * WIN, WIN), :], buf_ref.at[slot], sems.at[slot]
         )
@@ -95,8 +97,8 @@ def _windowed_kernel(
 
         dma(w, slot).wait()
         vc = win_vc_ref[t, w]
-        v = vc // 1024
-        base = (vc % 1024) * WIN
+        v = vc // pack
+        base = (vc % pack) * WIN
         idx_v = idx_ref[0, v]  # [TILE_N, 4] (dynamic view index)
         wts_v = wts_ref[0, v]
         s = jnp.zeros((TILE_N, WIN), jnp.float32)
@@ -104,7 +106,7 @@ def _windowed_kernel(
             rel = idx_v[:, k][:, None] - base
             s = s + jnp.where(iota == rel, wts_v[:, k][:, None], 0.0)
         return acc + jnp.dot(
-            s.astype(jnp.bfloat16),
+            s.astype(compute_dtype),
             buf_ref[slot],
             preferred_element_type=jnp.float32,
         )
@@ -116,12 +118,18 @@ def _windowed_kernel(
 
 
 def warp_tiles_windowed(
-    feats_vpk: jax.Array, idx: jax.Array, wts: jax.Array
+    feats_vpk: jax.Array,
+    idx: jax.Array,
+    wts: jax.Array,
+    *,
+    compute_dtype: jnp.dtype = jnp.bfloat16,
 ) -> jax.Array:
     """sum_v bilinear-warp(feats[v]) for all BEV cells, batch in channels.
 
     feats_vpk: [V, P, K] bf16/f32 (P = Hf*Wf; K = B*C or C)
     idx:       [V, N, 4] int32 flat taps; wts [V, N, 4] f32 (0 = masked).
+    compute_dtype: matmul input dtype; bf16 under AMP, f32 otherwise
+    (accumulation is always f32).
     Returns [N, K] float32.
     """
     V, P, K = feats_vpk.shape
@@ -131,7 +139,7 @@ def warp_tiles_windowed(
     N_pad = _round_up(N, TILE_N)
     T = N_pad // TILE_N
 
-    feats_vpk = feats_vpk.astype(jnp.bfloat16)
+    feats_vpk = feats_vpk.astype(compute_dtype)
     if P_pad != P or K_pad != K:
         feats_vpk = jnp.pad(feats_vpk, ((0, 0), (0, P_pad - P), (0, K_pad - K)))
     if N_pad != N:
@@ -152,6 +160,15 @@ def warp_tiles_windowed(
     # flatten the active (view, window) pairs of each tile into a packed
     # worklist so the kernel can double-buffer DMA across views
     nc = P_pad // WIN
+    # (view, window) pack base: the next power of two above the window
+    # count, so the encoding never collides for any source-map size
+    # (the fixed 1024 of round 1 silently corrupted at P_pad/WIN >= 1024)
+    pack = max(1024, 1 << nc.bit_length())
+    if V * pack >= (1 << 30):
+        raise ValueError(
+            f"warp worklist packing overflow: V={V}, windows={nc} "
+            f"(pack={pack}) exceeds the int32 sentinel"
+        )
     j = jnp.arange(nc, dtype=jnp.int32)
     cnt = jnp.maximum(0, last - first + 1)                       # [T, V]
     cand_c = first[..., None] + j[None, None, :]                  # [T, V, nc]
@@ -159,7 +176,7 @@ def warp_tiles_windowed(
     cand_v = jnp.broadcast_to(
         jnp.arange(V, dtype=jnp.int32)[None, :, None], cand_c.shape
     )
-    vc = jnp.where(cand_ok, cand_v * 1024 + cand_c, jnp.int32(1 << 30))
+    vc = jnp.where(cand_ok, cand_v * pack + cand_c, jnp.int32(1 << 30))
     vc_flat = vc.reshape(T, V * nc)
     vc_sorted = jnp.sort(vc_flat, axis=1)                         # active first
     win_n = jnp.sum(cand_ok.reshape(T, V * nc), axis=1).astype(jnp.int32)[:, None]
@@ -181,12 +198,14 @@ def warp_tiles_windowed(
             (TILE_N, K_pad), lambda t, *_: (t, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, WIN, K_pad), jnp.bfloat16),
+            pltpu.VMEM((2, WIN, K_pad), compute_dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_windowed_kernel, n_views=V),
+        functools.partial(
+            _windowed_kernel, n_views=V, pack=pack, compute_dtype=compute_dtype
+        ),
         out_shape=jax.ShapeDtypeStruct((N_pad, K_pad), jnp.float32),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
@@ -284,11 +303,17 @@ def _fwp_pallas_impl(
         if interpret:
             with pltpu.force_tpu_interpret_mode():
                 warped = warp_tiles_windowed(
-                    proj.reshape(V, Hf * Wf, B * C_out), idx, wts
+                    proj.reshape(V, Hf * Wf, B * C_out),
+                    idx,
+                    wts,
+                    compute_dtype=compute_dtype,
                 )
         else:
             warped = warp_tiles_windowed(
-                proj.reshape(V, Hf * Wf, B * C_out), idx, wts
+                proj.reshape(V, Hf * Wf, B * C_out),
+                idx,
+                wts,
+                compute_dtype=compute_dtype,
             )
         out = warped.reshape(N, B, C_out)
         out = jnp.transpose(out, (1, 0, 2)).reshape(B, Hb, Wb, C_out)
@@ -331,6 +356,7 @@ def _scatter_kernel(
     out_ref,    # [1, P_pad, K] f32 (dfeats for view v; revisited across t)
     *,
     n_tiles: int,
+    compute_dtype,
 ):
     v = pl.program_id(0)
     t = pl.program_id(1)
@@ -342,7 +368,7 @@ def _scatter_kernel(
     iota = jax.lax.broadcasted_iota(jnp.int32, (WIN, TILE_N), 0)
     idx_t = idx_ref[0, 0]  # [TILE_N, 4]
     wts_t = wts_ref[0, 0]
-    g_t = g_ref[0].astype(jnp.bfloat16)  # [TILE_N, K]
+    g_t = g_ref[0].astype(compute_dtype)  # [TILE_N, K]
     first = first_ref[v, t]
     last = last_ref[v, t]
 
@@ -353,7 +379,7 @@ def _scatter_kernel(
             rel = idx_t[:, k][None, :] - base
             s_t = s_t + jnp.where(iota == rel, wts_t[:, k][None, :], 0.0)
         contrib = jnp.dot(
-            s_t.astype(jnp.bfloat16), g_t, preferred_element_type=jnp.float32
+            s_t.astype(compute_dtype), g_t, preferred_element_type=jnp.float32
         )
         out_ref[0, pl.ds(base, WIN), :] += contrib
         return 0
@@ -362,7 +388,12 @@ def _scatter_kernel(
 
 
 def scatter_taps_windowed(
-    g: jax.Array, idx: jax.Array, wts: jax.Array, p_out: int
+    g: jax.Array,
+    idx: jax.Array,
+    wts: jax.Array,
+    p_out: int,
+    *,
+    compute_dtype: jnp.dtype = jnp.bfloat16,
 ) -> jax.Array:
     """Transpose of the windowed warp: dfeats[v, p] = sum over the BEV
     cells/taps that read p.
@@ -420,7 +451,7 @@ def scatter_taps_windowed(
         ),
     )
     out = pl.pallas_call(
-        functools.partial(_scatter_kernel, n_tiles=T),
+        functools.partial(_scatter_kernel, n_tiles=T, compute_dtype=compute_dtype),
         out_shape=jax.ShapeDtypeStruct((V, P_pad, K_pad), jnp.float32),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
