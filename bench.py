@@ -1,20 +1,29 @@
 #!/usr/bin/env python
 """Benchmark harness.
 
-Times the TPU pipeline (jit forward + on-device decode, flagship
-configs/wildtrack.yaml shapes: 7 views x 270x480 -> BEV 120x360) against
-the CPU reference executed directly from /root/reference (its own
-fallback code paths: conv encoder + grid_sample warp + Python decode),
-both on identical synthetic Wildtrack-shaped inputs.
+Times the TPU pipeline (flagship configs/wildtrack.yaml shapes: 7 views
+x 270x480 -> BEV 120x360) against the CPU reference executed directly
+from /root/reference (its own fallback code paths: conv encoder +
+grid_sample warp + Python decode), on identical Wildtrack-shaped inputs.
+
+Three measurements (VERDICT round 1, item 4):
+  1. inference fps/chip - jit forward + on-device decode, device-resident
+     inputs (the headline, comparable to round 1);
+  2. train fps/chip - full fwd+bwd+optimizer step at the flagship config;
+  3. input-included fps - synthetic Wildtrack tree on disk -> host decode
+     (C++ codec) -> Prefetcher -> device_put -> forward, cold (first
+     epoch, real PNG decode) and warm (RAM image cache) - the reference's
+     comparable number includes its DataLoader (ref train.py:139-160).
 
 Measurement note: on this rig the TPU is reached through a tunnel whose
 ``block_until_ready`` acks at dispatch, not at completion - so naive
 async-loop timing overstates throughput by orders of magnitude. We
-instead chain N data-dependent steps inside ONE jit program ending in a
-scalar fetch (a real device->host round trip), and take the slope
-between two N values to cancel the tunnel latency.
+instead chain N data-dependent steps ending in a scalar fetch (a real
+device->host round trip), and take the slope between two N values to
+cancel the tunnel latency.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line per auxiliary metric, then the headline line LAST:
+{"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 
 import json
@@ -28,6 +37,20 @@ REFERENCE_PATH = os.environ.get("VSTA_REFERENCE", "/root/reference/project")
 BATCH = 16
 N_LO, N_HI = 2, 12
 N_REPEAT = 3
+TRAIN_BATCH = 8
+TRAIN_N_LO, TRAIN_N_HI = 2, 6
+PIPELINE_FRAMES = 24  # synthetic frames on disk for the input-included run
+
+# bf16 peak per chip by device_kind substring (for the MFU estimate)
+_PEAK_BF16 = {
+    "v5 lite": 197e12,
+    "v5e": 197e12,
+    "v5p": 459e12,
+    "v4": 275e12,
+    "v3": 123e12,
+    "v6e": 918e12,
+    "v6 lite": 918e12,
+}
 
 
 def bench_tpu():
@@ -104,7 +127,156 @@ def bench_tpu():
     float(run_n(N_LO, variables, images, K, Rt))  # compile lo
     float(run_n(N_HI, variables, images, K, Rt))  # compile hi
     dt = (timed(N_HI) - timed(N_LO)) / (N_HI - N_LO)
+    fps = B / max(dt, 1e-9)
+
+    # MFU estimate from XLA's own cost model for the forward program
+    mfu_pct = None
+    try:
+        import jax
+
+        compiled = (
+            jax.jit(step_scalar).lower(variables, images, K, Rt).compile()
+        )
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops_per_call = float(ca.get("flops", 0.0))
+        kind = jax.devices()[0].device_kind.lower()
+        peak = next((v for k, v in _PEAK_BF16.items() if k in kind), 197e12)
+        if flops_per_call > 0:
+            mfu_pct = 100.0 * (flops_per_call / B) * fps / peak
+    except Exception as e:  # cost model availability varies by backend
+        print(f"[bench] MFU estimate unavailable: {e}", file=sys.stderr)
+    return fps, mfu_pct
+
+
+def bench_train_tpu():
+    """Full training-step rate (fwd+bwd+optimizer) at flagship shapes."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from vsta_tpu.config import load_config
+    from vsta_tpu.data.synthetic import make_ring_camera
+    from vsta_tpu.training.optim import build_optimizer
+    from vsta_tpu.training.state import create_state, make_train_step
+
+    cfg = load_config("configs/wildtrack.yaml")
+    B, V = TRAIN_BATCH, cfg.data.views
+    H, W = cfg.data.img_size
+    rng = np.random.default_rng(0)
+    Ks, Rts = zip(*(make_ring_camera(v, V, img_hw=(H, W)) for v in range(V)))
+    boxes = np.zeros((B, cfg.loss.max_objects, 4), np.float32)
+    boxes[:, 0] = [0.0, 0.0, 0.6, 0.6]
+    boxes[:, 1] = [2.0, 1.0, 0.6, 0.6]
+    batch = {
+        "images": jnp.asarray(rng.standard_normal((B, V, H, W, 3)), jnp.float32),
+        "K": jnp.asarray(np.broadcast_to(np.stack(Ks), (B, V, 3, 3)), jnp.float32),
+        "Rt": jnp.asarray(np.broadcast_to(np.stack(Rts), (B, V, 4, 4)), jnp.float32),
+        "boxes_world": jnp.asarray(boxes),
+        "num_boxes": jnp.full((B,), 2, jnp.int32),
+        "frame_idx": jnp.arange(B, dtype=jnp.int32),
+        "batch_mask": jnp.ones((B,), bool),
+    }
+    tx = build_optimizer(cfg, steps_per_epoch=100)
+    state = create_state(cfg, tx, jax.random.PRNGKey(0))
+    step = make_train_step(cfg)
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def run_n(n, state, batch):
+        def body(carry, _):
+            new_state, m = step(carry, batch)
+            return new_state, m["total_loss"]
+
+        state, losses = jax.lax.scan(body, state, None, length=n)
+        return losses[-1]
+
+    def timed(n):
+        best = float("inf")
+        for _ in range(N_REPEAT):
+            t0 = time.perf_counter()
+            float(run_n(n, state, batch))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    float(run_n(TRAIN_N_LO, state, batch))  # compile
+    float(run_n(TRAIN_N_HI, state, batch))
+    dt = (timed(TRAIN_N_HI) - timed(TRAIN_N_LO)) / (TRAIN_N_HI - TRAIN_N_LO)
     return B / max(dt, 1e-9)
+
+
+def bench_pipeline_tpu():
+    """Input-included inference: disk -> decode -> Prefetcher -> device ->
+    forward, over a synthetic full-res (1080x1920 PNG) Wildtrack tree.
+
+    Returns (fps_cold, fps_warm): first epoch pays PNG decode + resize on
+    the host (C++ codec); later epochs hit the RAM uint8 cache
+    (DATA.CACHE_IMAGES, the production configuration for a fixed dataset).
+    """
+    import tempfile
+    from pathlib import Path
+
+    import jax
+    import jax.numpy as jnp
+
+    from vsta_tpu.config import load_config
+    from vsta_tpu.data.pipeline import Prefetcher
+    from vsta_tpu.data.synthetic import generate_synthetic_wildtrack
+    from vsta_tpu.data.wildtrack import WildtrackDataset
+    from vsta_tpu.models import BEVNet
+
+    root = Path(tempfile.gettempdir()) / "vsta_bench_wildtrack"
+    marker = root / ".complete"
+    if not marker.exists():
+        generate_synthetic_wildtrack(
+            root, n_frames=PIPELINE_FRAMES, n_views=7, n_people=12,
+            img_hw=(1080, 1920), seed=3,
+        )
+        marker.touch()
+
+    import dataclasses
+
+    cfg = load_config("configs/wildtrack.yaml")
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, data_root=str(root), batch_size=8)
+    )
+    ds = WildtrackDataset(cfg, train=False)
+    model = BEVNet.from_config(cfg)
+    B, V = cfg.data.batch_size, cfg.data.views
+    H, W = cfg.data.img_size
+    sample = ds[0]
+    images0 = jnp.asarray(sample["images"])[None].repeat(B, axis=0)
+    K0 = jnp.asarray(sample["K"])[None].repeat(B, axis=0)
+    Rt0 = jnp.asarray(sample["Rt"])[None].repeat(B, axis=0)
+    variables = model.init(jax.random.PRNGKey(0), images0, K0, Rt0, train=False)
+
+    @jax.jit
+    def fwd_scalar(variables, images, K, Rt, acc):
+        out = model.apply(variables, images + acc * 1e-30, K, Rt, train=False)
+        return jnp.sum(out["heatmap"]).astype(jnp.float32)
+
+    def epoch():
+        pf = Prefetcher(
+            ds, list(range(len(ds))), B,
+            num_workers=cfg.runtime.num_workers, prefetch=2,
+            device_put=jax.device_put, drop_last=True,
+        )
+        t0 = time.perf_counter()
+        acc = jnp.float32(0.0)
+        n = 0
+        for batch in pf:
+            acc = fwd_scalar(variables, batch["images"], batch["K"], batch["Rt"], acc)
+            n += int(np.asarray(batch["batch_mask"]).sum())
+        float(acc)  # drain: waits for the whole chained epoch
+        return n / max(time.perf_counter() - t0, 1e-9)
+
+    # compile once on a resident batch so epoch 1 measures IO, not XLA
+    float(fwd_scalar(variables, images0, K0, Rt0, jnp.float32(0.0)))
+    ds._cache.clear()  # drop the frames decoded during init
+    fps_cold = epoch()  # decodes every PNG on the host
+    fps_warm = max(epoch(), epoch())  # RAM-cached
+    return fps_cold, fps_warm
 
 
 def bench_reference_cpu(n_iters=3):
@@ -162,22 +334,56 @@ def bench_reference_cpu(n_iters=3):
 RECORDED_REFERENCE_FPS = 0.175
 
 
-def main():
+def _retry(fn, label, attempts=3):
     # the TPU tunnel occasionally drops a compile (HTTP 500); retry
-    tpu_fps = None
-    for attempt in range(3):
+    for attempt in range(attempts):
         try:
-            tpu_fps = bench_tpu()
-            break
+            return fn()
         except Exception as e:
-            print(f"[bench] TPU attempt {attempt} failed: {e}", file=sys.stderr)
+            print(f"[bench] {label} attempt {attempt} failed: {e}", file=sys.stderr)
             time.sleep(20)
-    if tpu_fps is None:
+    return None
+
+
+def main():
+    res = _retry(bench_tpu, "inference")
+    if res is None:
         print(json.dumps({"metric": "wildtrack_e2e_frames_per_sec", "value": 0.0,
                           "unit": "frames/s/chip", "vs_baseline": 0.0}))
         return
+    tpu_fps, mfu_pct = res
+
+    train_fps = _retry(bench_train_tpu, "train-step") if not os.environ.get(
+        "VSTA_BENCH_FAST"
+    ) else None
+    pipe = _retry(bench_pipeline_tpu, "input-pipeline") if not os.environ.get(
+        "VSTA_BENCH_FAST"
+    ) else None
+
     ref_fps = bench_reference_cpu()
     ref_fps = max(ref_fps or 0.0, RECORDED_REFERENCE_FPS)
+
+    extras = {}
+    if train_fps is not None:
+        extras["train_fps"] = round(train_fps, 3)
+        print(json.dumps({
+            "metric": "wildtrack_train_frames_per_sec",
+            "value": round(train_fps, 3), "unit": "frames/s/chip",
+            "vs_baseline": round(train_fps / max(1e-9, ref_fps), 2),
+        }))
+    if pipe is not None:
+        fps_cold, fps_warm = pipe
+        extras["pipeline_fps_cold"] = round(fps_cold, 3)
+        extras["pipeline_fps_warm"] = round(fps_warm, 3)
+        print(json.dumps({
+            "metric": "wildtrack_input_included_frames_per_sec",
+            "value": round(fps_warm, 3), "unit": "frames/s/chip",
+            "vs_baseline": round(fps_warm / max(1e-9, ref_fps), 2),
+            "cold_fps": round(fps_cold, 3),
+        }))
+    if mfu_pct is not None:
+        extras["mfu_pct"] = round(mfu_pct, 2)
+
     print(
         json.dumps(
             {
@@ -185,6 +391,7 @@ def main():
                 "value": round(tpu_fps, 3),
                 "unit": "frames/s/chip",
                 "vs_baseline": round(tpu_fps / max(1e-9, ref_fps), 2),
+                **extras,
             }
         )
     )

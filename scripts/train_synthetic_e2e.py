@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Multi-epoch train -> evaluate on a larger synthetic Wildtrack, with
+recorded MODA/MODP (VERDICT round 1, item 5).
+
+Generates a 120-frame, 7-view synthetic Wildtrack (analytic calibrations,
+people rendered as vertical bars), trains the requested fusion variant to
+convergence, and reports final val metrics. Results land in
+<work_dir>/checkpoints/metrics.jsonl and a summary JSON on stdout.
+
+The reference never implemented its own accuracy criterion
+(MODA/MODP-style eval, /root/reference/README.md:70); this script is the
+reproducible harness that records ours.
+
+Usage:
+  python scripts/train_synthetic_e2e.py --fusion concat --epochs 30
+  python scripts/train_synthetic_e2e.py --fusion deform_attn --epochs 30
+"""
+
+import argparse
+import dataclasses
+import json
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fusion", default="concat",
+                    choices=["concat", "mean", "max", "sum", "deform_attn"])
+    ap.add_argument("--warp_impl", default=None,
+                    help="override MODEL.WARP_IMPL (default: config value)")
+    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--frames", type=int, default=120)
+    ap.add_argument("--people", type=int, default=12)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--work_dir", default=None)
+    ap.add_argument("--data_root", default=None,
+                    help="reuse an existing synthetic tree instead of generating")
+    ap.add_argument("--img_hw", default="540x960",
+                    help="source image size HxW (decoded+resized to the config size)")
+    args = ap.parse_args()
+
+    from vsta_tpu.config import load_config
+    from vsta_tpu.data.synthetic import generate_synthetic_wildtrack
+    from vsta_tpu.training.loop import run_training
+
+    src_h, src_w = (int(x) for x in args.img_hw.split("x"))
+    if args.data_root:
+        root = Path(args.data_root)
+    else:
+        root = Path(tempfile.gettempdir()) / f"vsta_e2e_{args.frames}f_{src_h}x{src_w}"
+        marker = root / ".complete"
+        if not marker.exists():
+            print(f"[e2e] generating {args.frames}-frame synthetic Wildtrack at {root}")
+            generate_synthetic_wildtrack(
+                root, n_frames=args.frames, n_views=7, n_people=args.people,
+                img_hw=(src_h, src_w), seed=11,
+            )
+            marker.touch()
+
+    cfg = load_config("configs/wildtrack.yaml")
+    model_kw = {"fusion": args.fusion}
+    if args.warp_impl:
+        model_kw["warp_impl"] = args.warp_impl
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(
+            cfg.data, data_root=str(root), batch_size=args.batch
+        ),
+        model=dataclasses.replace(cfg.model, **model_kw),
+        train=dataclasses.replace(cfg.train, epochs=args.epochs, patience=0),
+        runtime=dataclasses.replace(cfg.runtime, debug_max_steps=0),
+    )
+
+    work = Path(args.work_dir or (root.parent / f"vsta_e2e_run_{args.fusion}"))
+    work.mkdir(parents=True, exist_ok=True)
+    print(f"[e2e] training fusion={args.fusion} epochs={args.epochs} -> {work}")
+    metrics = run_training(cfg, work_dir=str(work))
+    summary = {
+        "fusion": args.fusion,
+        "warp_impl": cfg.model.warp_impl,
+        "epochs": args.epochs,
+        "frames": args.frames,
+        **{k: round(float(v), 4) for k, v in metrics.items()},
+    }
+    print("[e2e-result] " + json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    main()

@@ -21,12 +21,19 @@ from .efficientnet import EfficientNetFeatures
 from .simple import SimpleConvFeatures
 
 
-def build_backbone(name: str, dtype: Any = jnp.float32, module_name: str = "backbone") -> nn.Module:
+def build_backbone(
+    name: str,
+    dtype: Any = jnp.float32,
+    module_name: str = "backbone",
+    feat_dim: int = 32,
+) -> nn.Module:
     if name in _RESNET_SPECS:
         return ResNetFeatures(variant=name, dtype=dtype, name=module_name)
     if name.startswith("efficientnet"):
         return EfficientNetFeatures(variant=name, dtype=dtype, name=module_name)
-    return SimpleConvFeatures(dtype=dtype, name=module_name)
+    # the reference's fallback stack is sized by FEAT_DIM directly
+    # (cnn_encoder.py:31-37: out_channels = feat_dim)
+    return SimpleConvFeatures(out_channels=feat_dim, dtype=dtype, name=module_name)
 
 
 class ViewEncoder(nn.Module):
@@ -40,7 +47,9 @@ class ViewEncoder(nn.Module):
         """images: [B, V, H, W, 3] -> [B, V, Hf, Wf, feat_dim]."""
         B, V, H, W, C = images.shape
         x = images.reshape(B * V, H, W, C)
-        pyramid = build_backbone(self.backbone, self.dtype)(x, train=train)
+        pyramid = build_backbone(self.backbone, self.dtype, feat_dim=self.feat_dim)(
+            x, train=train
+        )
         feat = pyramid[self.out_index]
         feat = nn.Conv(self.feat_dim, (1, 1), dtype=self.dtype, name="proj")(feat)
         _, Hf, Wf, Cf = feat.shape

@@ -31,11 +31,12 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         conv = partial(nn.Conv, use_bias=False, dtype=self.dtype)
+        p1 = ((1, 1), (1, 1))  # torch-exact Conv2d padding=1 (see stem note)
         residual = x
-        y = conv(self.filters, (3, 3), (self.strides, self.strides))(x)
+        y = conv(self.filters, (3, 3), (self.strides, self.strides), padding=p1)(x)
         y = self.norm()(y)
         y = nn.relu(y)
-        y = conv(self.filters, (3, 3))(y)
+        y = conv(self.filters, (3, 3), padding=p1)(y)
         y = self.norm(scale_init=nn.initializers.zeros)(y)
         if residual.shape != y.shape:
             residual = conv(self.filters, (1, 1), (self.strides, self.strides))(residual)
@@ -56,7 +57,7 @@ class BottleneckBlock(nn.Module):
         y = conv(self.filters, (1, 1))(x)
         y = self.norm()(y)
         y = nn.relu(y)
-        y = conv(self.filters, (3, 3), (self.strides, self.strides))(y)
+        y = conv(self.filters, (3, 3), (self.strides, self.strides), padding=((1, 1), (1, 1)))(y)
         y = self.norm()(y)
         y = nn.relu(y)
         y = conv(self.filters * 4, (1, 1))(y)
@@ -97,11 +98,22 @@ class ResNetFeatures(nn.Module):
         )
         feats = []
         x = x.astype(self.dtype)
-        y = nn.Conv(self.width, (7, 7), (2, 2), use_bias=False, dtype=self.dtype, name="stem_conv")(x)
+        # torch-exact symmetric padding: flax 'SAME' on stride-2 ops pads
+        # asymmetrically ((0,1) for k=3), shifting every feature one pixel
+        # vs torchvision and breaking converted-weight parity.
+        y = nn.Conv(
+            self.width,
+            (7, 7),
+            (2, 2),
+            padding=((3, 3), (3, 3)),
+            use_bias=False,
+            dtype=self.dtype,
+            name="stem_conv",
+        )(x)
         y = norm(name="stem_bn")(y)
         y = nn.relu(y)
         feats.append(y)  # stride 2
-        y = nn.max_pool(y, (3, 3), strides=(2, 2), padding="SAME")
+        y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         for i, n_blocks in enumerate(stage_sizes):
             for j in range(n_blocks):
                 strides = 2 if (i > 0 and j == 0) else 1

@@ -29,7 +29,9 @@ class BEVDetectorHead(nn.Module):
     @nn.compact
     def __call__(self, bev_feat: jax.Array) -> Dict[str, jax.Array]:
         """bev_feat: [B, H, W, C] -> heads dict (channels-last)."""
-        gn = lambda: nn.GroupNorm(num_groups=32, dtype=self.dtype)
+        # epsilon matches torch GroupNorm (1e-5; flax defaults to 1e-6) so
+        # reference-converted weights reproduce the same activations
+        gn = lambda: nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype)
         y = nn.Conv(self.mid1, (3, 3), use_bias=False, dtype=self.dtype, name="stem0")(
             bev_feat.astype(self.dtype)
         )
