@@ -102,3 +102,23 @@ def test_bf16_amp_forward(rng):
     # heads are cast back to f32
     assert out["heatmap"].dtype == jnp.float32
     assert np.isfinite(np.asarray(out["heatmap"])).all()
+
+
+def test_uint8_input_matches_host_normalized(rng):
+    """DATA.DEVICE_NORMALIZE: feeding raw uint8 must equal feeding the
+    host-normalized float of the same image (normalize folded into jit)."""
+    from vsta_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+    model = _small_model()
+    _, K, Rt = _batch(rng)
+    u8 = rng.integers(0, 256, (1, 3, 48, 64, 3), dtype=np.uint8)
+    f32 = (u8.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(f32), K, Rt)
+    out_f = model.apply(variables, jnp.asarray(f32), K, Rt)
+    out_u = model.apply(variables, jnp.asarray(u8), K, Rt)
+    np.testing.assert_allclose(
+        np.asarray(out_u["heatmap"]), np.asarray(out_f["heatmap"]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_u["bev_feat"]), np.asarray(out_f["bev_feat"]), atol=1e-4
+    )

@@ -124,8 +124,23 @@ def transform_u8(
     jitter_p: float = 0.5,
 ) -> np.ndarray:
     """(train-only jitter) + normalize a decoded uint8 [H, W, 3] image."""
+    arr = jitter_u8(arr, rng=rng, train=train, jitter_p=jitter_p)
+    out = arr.astype(np.float32) / 255.0
+    return (out - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def jitter_u8(
+    arr: np.ndarray,
+    rng: Optional[np.random.Generator] = None,
+    train: bool = False,
+    jitter_p: float = 0.5,
+) -> np.ndarray:
+    """Train-only color jitter on a decoded uint8 image; stays uint8.
+
+    The normalize stage then runs ON DEVICE (DATA.DEVICE_NORMALIZE,
+    see BEVNet.normalize_images): uint8 batches are 4x cheaper to ship
+    host->device and XLA fuses the normalize into the first conv."""
     if train and rng is not None and rng.uniform() < jitter_p:
         img = color_jitter(Image.fromarray(arr, "RGB"), rng)
         arr = np.asarray(img, np.uint8)
-    out = arr.astype(np.float32) / 255.0
-    return (out - IMAGENET_MEAN) / IMAGENET_STD
+    return arr

@@ -33,7 +33,7 @@ from .calibration import (
     pixel_to_world_np,
     rescale_intrinsics,
 )
-from .transforms import decode_resize_u8, transform_u8
+from .transforms import decode_resize_u8, jitter_u8, transform_u8
 
 # Official Wildtrack positionID grid: 2.5 cm cells, 480 x 1440, origin
 # (-3.0, -9.0) m (the MVDet convention). Decoded when
@@ -210,12 +210,15 @@ class WildtrackDataset:
         return boxes, n
 
     def __getitem__(self, idx: int) -> Dict[str, Any]:
+        # DATA.DEVICE_NORMALIZE: emit uint8 (normalize runs inside the jit
+        # program) - 4x less host->device transfer and no host float pass
+        tf = jitter_u8 if self.cfg.data.device_normalize else transform_u8
         imgs = np.stack(
             [
-                transform_u8(self._load_u8(v, idx), rng=self._rng, train=self.train)
+                tf(self._load_u8(v, idx), rng=self._rng, train=self.train)
                 for v in range(self.views)
             ]
-        )  # [V, H, W, 3]
+        )  # [V, H, W, 3] uint8 or float32
         boxes, n = self.targets_for(idx)
         return {
             "images": imgs,

@@ -113,6 +113,16 @@ class BEVNet(nn.Module):
         assert V == self.views, f"config VIEWS={self.views} but got V={V}"
         Hb, Wb = self.bev_size
 
+        if images.dtype == jnp.uint8:
+            # DATA.DEVICE_NORMALIZE path: the host ships raw uint8 (4x less
+            # transfer); ImageNet normalization runs here and XLA fuses it
+            # into the first conv's input.
+            from ..data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+            mean = jnp.asarray(IMAGENET_MEAN, jnp.float32) * 255.0
+            scale = 1.0 / (jnp.asarray(IMAGENET_STD, jnp.float32) * 255.0)
+            images = (images.astype(jnp.float32) - mean) * scale
+
         feats = ViewEncoder(
             backbone=self.backbone,
             feat_dim=self.feat_dim,
