@@ -71,8 +71,8 @@ def test_roundtrip_to_dict_all_sections():
                           pretrained_path="/w.pth", feat_dim=96, out_index=1,
                           bev_size=(60, 180), bev_bounds=(-10.0, 10.0, -5.0, 5.0),
                           bev_proj_ch=64, warp_impl="pallas", fusion="deform_attn",
-                          static_cameras=False, attn_heads=2, attn_points=8,
-                          attn_stride=2),
+                          static_cameras=False, head_mid1=256, head_mid2=64,
+                          attn_heads=2, attn_points=8, attn_stride=2),
         train=TrainConfig(epochs=7, lr=3e-4, opt="AdamW", weight_decay=1e-5,
                           lr_scheduler="cosine", warmup_epochs=1, accum_steps=4,
                           patience=3, seed=42, freeze_backbone=True),
@@ -102,3 +102,7 @@ def test_invalid_enums_fail_fast():
         from_dict({"MODEL": {"WARP_IMPL": "cuda"}})
     with _pytest.raises(ValueError, match="BACKBONE"):
         from_dict({"MODEL": {"BACKBONE": "vgg99"}})
+    with _pytest.raises(ValueError, match="HEAD_MID1"):
+        from_dict({"MODEL": {"HEAD_MID1": 100}})  # not a multiple of 32
+    with _pytest.raises(ValueError, match="HEAD_MID2"):
+        from_dict({"MODEL": {"HEAD_MID2": 0}})

@@ -56,6 +56,11 @@ class ModelConfig:
     # batch element 0's K/Rt for all frames, unlocking the shared-camera
     # warp fast path (the gather index rides the whole batch).
     static_cameras: bool = True
+    # Detector-stem widths (ref detector.py:17-27 hardcodes 512/128).
+    # The 512-ch stem conv dominates flagship FLOPs (~100 GFLOP/frame at
+    # BEV 120x360); narrowing it trades accuracy headroom for speed.
+    head_mid1: int = 512
+    head_mid2: int = 128
     # deformable-attention fusion (Phase 2) knobs
     attn_heads: int = 4
     attn_points: int = 4
@@ -194,6 +199,10 @@ def validate(cfg: Config) -> Config:
         raise ValueError(f"DATA.VIEWS must be >= 1, got {cfg.data.views}")
     if cfg.model.attn_stride < 1:
         raise ValueError(f"MODEL.ATTN_STRIDE must be >= 1, got {cfg.model.attn_stride}")
+    for key, val in (("HEAD_MID1", cfg.model.head_mid1), ("HEAD_MID2", cfg.model.head_mid2)):
+        # detector stem uses GroupNorm(32) (ref detector.py:18-26)
+        if val < 32 or val % 32 != 0:
+            raise ValueError(f"MODEL.{key} must be a positive multiple of 32, got {val}")
     return cfg
 
 
@@ -244,6 +253,8 @@ def from_dict(raw: Dict[str, Any]) -> Config:
             warp_impl=str(_get(m, "WARP_IMPL", "fused")),
             fusion=str(_get(m, "FUSION", "concat")),
             static_cameras=bool(_get(m, "STATIC_CAMERAS", True)),
+            head_mid1=int(_get(m, "HEAD_MID1", 512)),
+            head_mid2=int(_get(m, "HEAD_MID2", 128)),
             attn_heads=int(_get(m, "ATTN_HEADS", 4)),
             attn_points=int(_get(m, "ATTN_POINTS", 4)),
             attn_stride=int(_get(m, "ATTN_STRIDE", 4)),
@@ -336,6 +347,8 @@ def to_dict(cfg: Config) -> Dict[str, Any]:
             "WARP_IMPL": cfg.model.warp_impl,
             "FUSION": cfg.model.fusion,
             "STATIC_CAMERAS": cfg.model.static_cameras,
+            "HEAD_MID1": cfg.model.head_mid1,
+            "HEAD_MID2": cfg.model.head_mid2,
             "ATTN_HEADS": cfg.model.attn_heads,
             "ATTN_POINTS": cfg.model.attn_points,
             "ATTN_STRIDE": cfg.model.attn_stride,

@@ -70,6 +70,8 @@ class BEVNet(nn.Module):
     default_box_wh: Tuple[float, float] = (0.6, 0.6)
     warp_impl: str = "fused"
     fusion: str = "concat"
+    head_mid1: int = 512
+    head_mid2: int = 128
     attn_heads: int = 4
     attn_points: int = 4
     attn_stride: int = 4
@@ -89,6 +91,8 @@ class BEVNet(nn.Module):
             default_box_wh=cfg.loss.default_box_wh,
             warp_impl=cfg.model.warp_impl,
             fusion=cfg.model.fusion,
+            head_mid1=cfg.model.head_mid1,
+            head_mid2=cfg.model.head_mid2,
             attn_heads=cfg.model.attn_heads,
             attn_points=cfg.model.attn_points,
             attn_stride=cfg.model.attn_stride,
@@ -279,6 +283,8 @@ class BEVNet(nn.Module):
             bev_bounds=self.bev_bounds,
             bev_size=self.bev_size,
             default_box_wh=self.default_box_wh,
+            mid1=self.head_mid1,
+            mid2=self.head_mid2,
             dtype=self.dtype,
             name="detector",
         )(bev_feat)
