@@ -35,6 +35,9 @@ def main():
     args = parser.parse_args()
 
     cfg = load_config(args.config)
+    from vsta_tpu.utils.platform import select_platform
+
+    select_platform(cfg.runtime.device)
     ds = WildtrackDataset(cfg, train=False)
     idx_train, idx_val = split_train_val(len(ds), cfg.train.seed)
     indices = {"val": idx_val, "train": idx_train, "all": list(range(len(ds)))}[args.split]

@@ -37,6 +37,9 @@ def main():
     args = parser.parse_args()
 
     cfg = load_config(args.config)
+    from vsta_tpu.utils.platform import select_platform
+
+    select_platform(cfg.runtime.device)
     ds = WildtrackDataset(cfg, train=False)
     mesh = make_mesh(cfg.runtime.mesh_data, cfg.runtime.mesh_view)
     dl = Prefetcher(

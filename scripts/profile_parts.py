@@ -74,11 +74,99 @@ def flops_of(fn, *args):
         return 0.0
 
 
+def profile_train(args):
+    """Training-step breakdown: full step, fwd+loss, bwd-only estimate."""
+    import jax
+    import jax.numpy as jnp
+
+    from vsta_tpu.config import load_config
+    from vsta_tpu.data.synthetic import make_ring_camera
+    from vsta_tpu.training.optim import build_optimizer
+    from vsta_tpu.training.state import create_state, make_train_step
+
+    cfg = load_config(args.config)
+    B, V = args.batch, cfg.data.views
+    H, W = cfg.data.img_size
+    rng = np.random.default_rng(0)
+    Ks, Rts = zip(*(make_ring_camera(v, V, img_hw=(H, W)) for v in range(V)))
+    boxes = np.zeros((B, cfg.loss.max_objects, 4), np.float32)
+    boxes[:, 0] = [0.0, 0.0, 0.6, 0.6]
+    batch = {
+        "images": jnp.asarray(rng.standard_normal((B, V, H, W, 3)), jnp.float32),
+        "K": jnp.asarray(np.broadcast_to(np.stack(Ks), (B, V, 3, 3)), jnp.float32),
+        "Rt": jnp.asarray(np.broadcast_to(np.stack(Rts), (B, V, 4, 4)), jnp.float32),
+        "boxes_world": jnp.asarray(boxes),
+        "num_boxes": jnp.full((B,), 1, jnp.int32),
+        "frame_idx": jnp.arange(B, dtype=jnp.int32),
+        "batch_mask": jnp.ones((B,), bool),
+    }
+    tx = build_optimizer(cfg, steps_per_epoch=100)
+    state = create_state(cfg, tx, jax.random.PRNGKey(0))
+    step = make_train_step(cfg)
+    import functools as ft
+
+    from vsta_tpu.ops.losses import detection_loss
+    from vsta_tpu.ops.splat import build_targets
+
+    l, m = cfg.loss, cfg.model
+
+    def fwd_loss(params, batch, eps):
+        targets = build_targets(
+            batch["boxes_world"], batch["num_boxes"], bounds=m.bev_bounds,
+            bev_hw=m.bev_size, min_overlap=l.gaussian_iou,
+            min_radius=l.gaussian_min_radius,
+        )
+        out = state.apply_fn(
+            {"params": params}, batch["images"] + eps, batch["K"], batch["Rt"],
+            train=True,
+        )
+        losses = detection_loss(
+            out, targets, hm_alpha=l.hm_alpha, hm_beta=l.hm_beta,
+            hm_weight=l.hm_weight, offset_weight=l.offset_weight,
+            size_weight=l.size_weight,
+        )
+        return losses["total_loss"]
+
+    @ft.partial(jax.jit, static_argnums=(0,))
+    def run_full(n, state, batch):
+        def body(carry, _):
+            new_state, mm = step(carry, batch)
+            return new_state, mm["total_loss"]
+        state2, losses = jax.lax.scan(body, state, None, length=n)
+        return losses[-1]
+
+    @ft.partial(jax.jit, static_argnums=(0,))
+    def run_fwd(n, state, batch):
+        def body(i, acc):
+            return fwd_loss(state.params, batch, acc * 1e-30)
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    @ft.partial(jax.jit, static_argnums=(0,))
+    def run_grad(n, state, batch):
+        def body(i, acc):
+            return jax.grad(fwd_loss)(state.params, batch, acc * 1e-30)[
+                "detector"]["stem0"]["kernel"].sum().astype(jnp.float32)
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    global N_LO, N_HI
+    N_LO, N_HI = 2, 6
+    for name, fn in (
+        ("train step (fwd+bwd+opt)", run_full),
+        ("fwd+loss only", run_fwd),
+        ("fwd+bwd (value_and_grad)", run_grad),
+    ):
+        dt = slope_time(fn, state, batch)
+        print(f"{name:26s} {dt*1e3:8.2f} ms  {B/dt:8.1f} f/s")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--config", default="configs/wildtrack.yaml")
+    ap.add_argument("--train", action="store_true")
     args = ap.parse_args()
+    if args.train:
+        return profile_train(args)
 
     import jax
     import jax.numpy as jnp

@@ -10,6 +10,7 @@ from vsta_tpu.geometry import bev_sample_coords, ground_grid
 from vsta_tpu.ops.warp import fused_warp_proj, precompute_warp_lut
 from vsta_tpu.ops.warp_pallas import (
     fused_warp_proj_pallas,
+    warp_tiles_resident,
     warp_tiles_windowed,
     warp_views_sum_pallas,
 )
@@ -48,6 +49,27 @@ def test_windowed_kernel_matches_reference_sum(rng, cameras):
     with pltpu.force_tpu_interpret_mode():
         out = warp_tiles_windowed(flat, idx, wts)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2, rtol=2e-2)
+
+
+def test_resident_kernel_matches_reference_sum(rng, cameras):
+    """warp_tiles_resident == sum_v of the XLA LUT warp (interpret mode),
+    in both bf16 and f32 compute."""
+    feats, kernel, bias, coords_v = _setup(rng, cameras)
+    B, V = feats.shape[0], feats.shape[1]
+    N = BEV[0] * BEV[1]
+    idx, wts = precompute_warp_lut(coords_v.reshape(V, N, 2), FEAT)
+
+    flat = feats.transpose(1, 2, 3, 0, 4).reshape(V, FEAT[0] * FEAT[1], -1)
+    ref = jnp.zeros((N, flat.shape[-1]), jnp.float32)
+    for v in range(V):
+        vals = jnp.take(flat[v], idx[v].reshape(-1), axis=0).reshape(N, 4, -1)
+        ref = ref + jnp.einsum("nk,nkc->nc", wts[v], vals)
+
+    with pltpu.force_tpu_interpret_mode():
+        out_bf16 = warp_tiles_resident(flat, idx, wts, compute_dtype=jnp.bfloat16)
+        out_f32 = warp_tiles_resident(flat, idx, wts, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out_bf16), np.asarray(ref), atol=2e-2, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(out_f32), np.asarray(ref), atol=1e-4, rtol=1e-4)
 
 
 def test_fused_warp_proj_pallas_shared_matches_xla(rng, cameras):

@@ -28,6 +28,10 @@ def main():
     args = parser.parse_args()
 
     cfg = load_config(args.config)
+    # honor RUNTIME.DEVICE: cpu before any backend init (ref train.py:114)
+    from vsta_tpu.utils.platform import select_platform
+
+    select_platform(cfg.runtime.device)
     metrics = run_training(
         cfg,
         work_dir=args.work_dir,

@@ -127,13 +127,23 @@ class BEVNet(nn.Module):
             scale = 1.0 / (jnp.asarray(IMAGENET_STD, jnp.float32) * 255.0)
             images = (images.astype(jnp.float32) - mean) * scale
 
-        feats = ViewEncoder(
+        # concat+fused/pallas: the encoder's 1x1 proj feeds the per-view
+        # warp projection with no nonlinearity in between, so the two
+        # compose into one [C_raw -> bev_proj_ch] projection (fold_proj);
+        # params and checkpoints are unchanged.
+        fold = self.fusion == "concat" and self.warp_impl in ("fused", "pallas")
+        enc_out = ViewEncoder(
             backbone=self.backbone,
             feat_dim=self.feat_dim,
             out_index=self.out_index,
             dtype=self.dtype,
+            fold_proj=fold,
             name="encoder",
         )(images, train=train)
+        if fold:
+            feats, enc_pk, enc_pb = enc_out
+        else:
+            feats, enc_pk, enc_pb = enc_out, None, None
         _, _, Hf, Wf, C = feats.shape
 
         grid = ground_grid(Hb, Wb, self.bev_bounds)
@@ -207,12 +217,25 @@ class BEVNet(nn.Module):
             kernel = self.param(
                 "view_proj",
                 nn.initializers.lecun_normal(),
-                (V, C, self.bev_proj_ch),
+                (V, self.feat_dim, self.bev_proj_ch),
                 jnp.float32,
             )
             bias = self.param(
                 "view_proj_bias", nn.initializers.zeros, (self.bev_proj_ch,), jnp.float32
             )
+            # fold the encoder proj into the view projection: warp a
+            # [C_raw+1]-channel tensor (ones channel carries the encoder
+            # proj bias) with the composed kernel - numerically identical
+            # to proj -> warp -> view_proj, at a fraction of the traffic.
+            composite = jnp.einsum(
+                "cf,vfo->vco",
+                enc_pk.astype(jnp.float32),
+                kernel,
+            )
+            pre_bias = jnp.einsum("f,vfo->vo", enc_pb.astype(jnp.float32), kernel)
+            kernel = jnp.concatenate([composite, pre_bias[:, None, :]], axis=1)
+            ones = jnp.ones(feats.shape[:-1] + (1,), feats.dtype)
+            feats = jnp.concatenate([feats, ones], axis=-1)
             on_tpu = jax.default_backend() == "tpu"
             if self.warp_impl == "pallas" and (on_tpu or FORCE_PALLAS_INTERPRET):
                 from ..ops.warp_pallas import fused_warp_proj_pallas

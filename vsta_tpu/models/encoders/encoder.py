@@ -41,16 +41,36 @@ class ViewEncoder(nn.Module):
     feat_dim: int = 64
     out_index: int = 2
     dtype: Any = jnp.float32
+    # When True, skip APPLYING the 1x1 projection and instead return
+    # (raw_pyramid_feat, proj_kernel, proj_bias). The caller folds the
+    # projection into the next linear op (there is no nonlinearity after
+    # proj - ref cnn_encoder.py:43-48 goes conv -> geometry warp). At the
+    # flagship config (40ch pyramid -> FEAT_DIM 1280 -> view-proj 128)
+    # this removes a 23 GFLOP conv and ~1.2 GB of HBM traffic per batch
+    # while keeping the parameter tree (and checkpoints) identical.
+    fold_proj: bool = False
 
     @nn.compact
-    def __call__(self, images: jax.Array, train: bool = False) -> jax.Array:
-        """images: [B, V, H, W, 3] -> [B, V, Hf, Wf, feat_dim]."""
+    def __call__(self, images: jax.Array, train: bool = False):
+        """images: [B, V, H, W, 3] -> [B, V, Hf, Wf, feat_dim], or
+        ([B, V, Hf, Wf, C_raw], kernel [C_raw, feat_dim], bias [feat_dim])
+        when ``fold_proj``."""
         B, V, H, W, C = images.shape
         x = images.reshape(B * V, H, W, C)
         pyramid = build_backbone(self.backbone, self.dtype, feat_dim=self.feat_dim)(
             x, train=train
         )
         feat = pyramid[self.out_index]
-        feat = nn.Conv(self.feat_dim, (1, 1), dtype=self.dtype, name="proj")(feat)
+        proj = nn.Conv(self.feat_dim, (1, 1), dtype=self.dtype, name="proj")
+        if self.fold_proj:
+            # bind/initialize proj's params on a dummy pixel (identical
+            # shapes + init draws as the applied path) without paying the
+            # full-tensor conv
+            proj(jnp.zeros((1, 1, 1, feat.shape[-1]), feat.dtype))
+            kernel = proj.variables["params"]["kernel"][0, 0]  # [C_raw, F]
+            bias = proj.variables["params"]["bias"]
+            _, Hf, Wf, Cf = feat.shape
+            return feat.reshape(B, V, Hf, Wf, Cf), kernel, bias
+        feat = proj(feat)
         _, Hf, Wf, Cf = feat.shape
         return feat.reshape(B, V, Hf, Wf, Cf)

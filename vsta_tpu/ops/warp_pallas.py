@@ -53,6 +53,162 @@ def _round_up(x: int, m: int) -> int:
 
 
 # ---------------------------------------------------------------------------
+# resident kernel (shared cameras, feature block fits VMEM)
+# ---------------------------------------------------------------------------
+
+RWIN = 384  # source rows per matmul span (resident kernel; TPU sweep
+            # at flagship shapes: 384 -> 7.42 ms vs 256 -> 7.75, 512 -> 7.58)
+# feats must fit VMEM alongside ~2 MB of working set; v5e/v5p have 128 MB
+RESIDENT_BUDGET_BYTES = 80 * 1024 * 1024
+
+
+def _resident_kernel(
+    start_ref,   # [T, MAXW] int32 (scalar-prefetched): span start row, 8-aligned
+    view_ref,    # [T, MAXW] int32: view of each work item
+    win_n_ref,   # [T, 1] int32: active work items for this tile
+    idx_ref,     # [1, V, TILE_N, 4] int32 (flat source row per tap)
+    wts_ref,     # [1, V, TILE_N, 4] f32 (0 for out-of-image taps)
+    feats_ref,   # [V, P_res, K] compute dtype, VMEM-RESIDENT across all tiles
+    out_ref,     # [TILE_N, K] f32
+    *,
+    compute_dtype,
+):
+    t = pl.program_id(0)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (TILE_N, RWIN), 1)
+
+    def body(w, acc):
+        v = view_ref[t, w]
+        # starts are built 8-aligned on the host side; the hint lets
+        # Mosaic prove the sublane alignment of the dynamic slice
+        start = pl.multiple_of(start_ref[t, w], 8)
+        idx_v = idx_ref[0, v]  # [TILE_N, 4] (dynamic view index)
+        wts_v = wts_ref[0, v]
+        # (building S directly in bf16 trips a Mosaic relayout bug on
+        # 16-bit selects; build f32 and cast at the dot instead)
+        s = jnp.zeros((TILE_N, RWIN), jnp.float32)
+        for k in range(4):
+            rel = idx_v[:, k][:, None] - start
+            s = s + jnp.where(iota == rel, wts_v[:, k][:, None], 0.0)
+        return acc + jnp.dot(
+            s.astype(compute_dtype),
+            feats_ref[v, pl.ds(start, RWIN), :],
+            preferred_element_type=jnp.float32,
+        )
+
+    acc = jax.lax.fori_loop(
+        0, win_n_ref[t, 0], body, jnp.zeros((TILE_N, out_ref.shape[-1]), jnp.float32)
+    )
+    # accumulate f32, store in compute dtype: halves the output traffic
+    # (and the downstream [N, B, C] -> [B, N, C] transpose) under AMP
+    out_ref[:, :] = acc.astype(out_ref.dtype)
+
+
+def warp_tiles_resident(
+    feats_vpk: jax.Array,
+    idx: jax.Array,
+    wts: jax.Array,
+    *,
+    compute_dtype: jnp.dtype = jnp.bfloat16,
+) -> jax.Array:
+    """sum_v bilinear-warp(feats[v]): VMEM-resident variant.
+
+    Same contract as :func:`warp_tiles_windowed` (feats [V, P, K], idx/wts
+    [V, N, 4] -> [N, K], f32-accumulated, stored in compute dtype), but
+    the whole feature block is pinned in
+    VMEM for the kernel's lifetime, so the per-(tile, view) work items
+    read their span directly instead of re-DMAing 512-row windows from
+    HBM per tile. At flagship shapes (V=7, P=2040, K=B*128) that removes
+    ~6.6 GB of repeated window DMA per call - the round-1 kernel's
+    bottleneck - leaving one [TILE, RWIN] @ [RWIN, K] MXU matmul per
+    active span. Spans start at the tile/view's first active tap (rounded
+    down to the 8-row sublane), so a span count of 1 covers most items.
+
+    Caller must ensure V * P_res * K_pad * itemsize fits the VMEM budget
+    (see RESIDENT_BUDGET_BYTES); :func:`fused_warp_proj_pallas` dispatches
+    to the windowed kernel otherwise.
+    """
+    V, P, K = feats_vpk.shape
+    N = idx.shape[1]
+    # headroom so a span starting near P never reads past the buffer
+    P_res = _round_up(P, 8) + RWIN
+    K_pad = _round_up(K, 128)
+    N_pad = _round_up(N, TILE_N)
+    T = N_pad // TILE_N
+
+    feats_vpk = feats_vpk.astype(compute_dtype)
+    feats_vpk = jnp.pad(feats_vpk, ((0, 0), (0, P_res - P), (0, K_pad - K)))
+    if N_pad != N:
+        idx = jnp.pad(idx, ((0, 0), (0, N_pad - N), (0, 0)))
+        wts = jnp.pad(wts, ((0, 0), (0, N_pad - N), (0, 0)))
+
+    idx_t = idx.reshape(V, T, TILE_N, 4).transpose(1, 0, 2, 3)
+    wts_t = wts.reshape(V, T, TILE_N, 4).transpose(1, 0, 2, 3).astype(jnp.float32)
+    active = wts_t > 0.0
+    lo = jnp.where(active, idx_t, P_res)
+    hi = jnp.where(active, idx_t, -1)
+    first = jnp.min(lo, axis=(2, 3))                     # [T, V]
+    last = jnp.max(hi, axis=(2, 3))
+    first8 = jnp.clip((first // 8) * 8, 0, P_res - RWIN).astype(jnp.int32)
+    # spans per (tile, view): consecutive RWIN blocks from first8; each
+    # tap belongs to exactly one span (coverage is disjoint), so no
+    # double counting
+    nspan_max = (P + RWIN - 1) // RWIN + 1
+    j = jnp.arange(nspan_max, dtype=jnp.int32)
+    cnt = jnp.where(
+        last >= first,
+        (last - first8) // RWIN + 1,
+        0,
+    )                                                     # [T, V]
+    cand_start = first8[..., None] + j[None, None, :] * RWIN   # [T, V, S]
+    cand_ok = j[None, None, :] < cnt[..., None]
+    cand_v = jnp.broadcast_to(
+        jnp.arange(V, dtype=jnp.int32)[None, :, None], cand_start.shape
+    )
+    # sort active items first (inactive -> sentinel at the end)
+    sortkey = jnp.where(cand_ok, 0, 1).reshape(T, V * nspan_max)
+    order = jnp.argsort(sortkey, axis=1, stable=True)
+    starts = jnp.take_along_axis(
+        jnp.clip(cand_start, 0, P_res - RWIN).reshape(T, V * nspan_max),
+        order, axis=1,
+    ).astype(jnp.int32)
+    views = jnp.take_along_axis(
+        cand_v.reshape(T, V * nspan_max), order, axis=1
+    ).astype(jnp.int32)
+    win_n = jnp.sum(cand_ok.reshape(T, V * nspan_max), axis=1).astype(jnp.int32)[:, None]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, V, TILE_N, 4), lambda t, *_: (t, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, V, TILE_N, 4), lambda t, *_: (t, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (V, P_res, K_pad), lambda t, *_: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (TILE_N, K_pad), lambda t, *_: (t, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    out = pl.pallas_call(
+        functools.partial(_resident_kernel, compute_dtype=compute_dtype),
+        out_shape=jax.ShapeDtypeStruct((N_pad, K_pad), compute_dtype),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(
+                V * P_res * K_pad * jnp.dtype(compute_dtype).itemsize
+                + 16 * 1024 * 1024
+            ),
+        ),
+    )(starts, views, win_n, idx_t, wts_t, feats_vpk)
+    return out[:N, :K]
+
+
+# ---------------------------------------------------------------------------
 # windowed kernel (shared cameras)
 # ---------------------------------------------------------------------------
 
@@ -300,16 +456,24 @@ def _fwp_pallas_impl(
             proj_kernel.astype(compute_dtype),
             precision=prec,
         )
+        # resident kernel when the projected feature block fits VMEM
+        # (flagship: 7 x 2304 x 2048 bf16 = 63 MB); windowed-DMA fallback
+        # for larger batch x channel products
+        P_res = _round_up(Hf * Wf, 8) + RWIN
+        K_pad = _round_up(B * C_out, 128)
+        itemsize = jnp.dtype(compute_dtype).itemsize
+        resident = V * P_res * K_pad * itemsize <= RESIDENT_BUDGET_BYTES
+        kern = warp_tiles_resident if resident else warp_tiles_windowed
         if interpret:
             with pltpu.force_tpu_interpret_mode():
-                warped = warp_tiles_windowed(
+                warped = kern(
                     proj.reshape(V, Hf * Wf, B * C_out),
                     idx,
                     wts,
                     compute_dtype=compute_dtype,
                 )
         else:
-            warped = warp_tiles_windowed(
+            warped = kern(
                 proj.reshape(V, Hf * Wf, B * C_out),
                 idx,
                 wts,
