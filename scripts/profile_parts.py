@@ -116,9 +116,14 @@ def profile_train(args):
             bev_hw=m.bev_size, min_overlap=l.gaussian_iou,
             min_radius=l.gaussian_min_radius,
         )
-        out = state.apply_fn(
-            {"params": params}, batch["images"] + eps, batch["K"], batch["Rt"],
-            train=True,
+        variables = {"params": params}
+        mutable = []
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+            mutable = ["batch_stats"]
+        out, _ = state.apply_fn(
+            variables, batch["images"] + eps, batch["K"], batch["Rt"],
+            train=True, mutable=mutable,
         )
         losses = detection_loss(
             out, targets, hm_alpha=l.hm_alpha, hm_beta=l.hm_beta,
@@ -157,6 +162,66 @@ def profile_train(args):
     ):
         dt = slope_time(fn, state, batch)
         print(f"{name:26s} {dt*1e3:8.2f} ms  {B/dt:8.1f} f/s")
+
+    # ---- per-stage fwd+bwd isolation (where does the backward go?)
+    from vsta_tpu.geometry import ground_grid
+    from vsta_tpu.geometry.bev import bev_sample_coords_with_depth
+    from vsta_tpu.models.encoders.encoder import ViewEncoder
+    from vsta_tpu.models.heads import BEVDetectorHead
+
+    cdt = jnp.bfloat16 if cfg.runtime.use_amp else jnp.float32
+    Hb, Wb = m.bev_size
+    enc = ViewEncoder(backbone=m.backbone, feat_dim=m.feat_dim,
+                      out_index=m.out_index, dtype=cdt)
+    enc_vars = enc.init(jax.random.PRNGKey(0), batch["images"], train=False)
+    feats = enc.apply(enc_vars, batch["images"], train=False)
+    _, _, Hf, Wf, C = feats.shape
+
+    def enc_grad_fn(ev, images, eps):
+        f = enc.apply(ev, images + eps, train=False)
+        return jnp.sum(f.astype(jnp.float32))
+
+    grid = ground_grid(Hb, Wb, m.bev_bounds)
+    coords, _ = bev_sample_coords_with_depth(
+        batch["K"][0], batch["Rt"][0], (H, W), (Hf, Wf), grid)
+    rngk = np.random.default_rng(1)
+    kern = jnp.asarray(rngk.standard_normal((V, C, m.bev_proj_ch)), jnp.float32) * 0.02
+    bias = jnp.zeros((m.bev_proj_ch,), jnp.float32)
+    on_tpu = jax.default_backend() == "tpu"
+    if m.warp_impl == "pallas" and on_tpu:
+        from vsta_tpu.ops.warp_pallas import fused_warp_proj_pallas as warp_fn
+    else:
+        from vsta_tpu.ops.warp import fused_warp_proj as warp_fn
+
+    def warp_grad_fn(f, k, eps):
+        out = warp_fn(f + eps, coords, k, bias, compute_dtype=cdt)
+        return jnp.sum(out.astype(jnp.float32))
+
+    head = BEVDetectorHead(bev_bounds=m.bev_bounds, bev_size=(Hb, Wb),
+                           default_box_wh=l.default_box_wh, dtype=cdt)
+    bev_feat = jnp.asarray(
+        rngk.standard_normal((B, Hb, Wb, m.bev_proj_ch + 2)), jnp.float32)
+    head_vars = head.init(jax.random.PRNGKey(0), bev_feat)
+
+    def head_grad_fn(hv, bf, eps):
+        out = head.apply(hv, bf + eps)
+        return jnp.sum(out["heatmap"].astype(jnp.float32))
+
+    def timed_grad(name, fn, wrt, *fargs):
+        @ft.partial(jax.jit, static_argnums=(0,))
+        def run_g(n, *a):
+            def body(i, acc):
+                g = jax.grad(fn, argnums=wrt)(*a, acc * 1e-30)
+                return jax.tree_util.tree_reduce(
+                    lambda s, x: s + x.sum().astype(jnp.float32), g,
+                    jnp.float32(0.0))
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+        dt = slope_time(run_g, *fargs)
+        print(f"{name:26s} {dt*1e3:8.2f} ms  {B/dt:8.1f} f/s")
+
+    timed_grad("encoder fwd+bwd", enc_grad_fn, 0, enc_vars, batch["images"])
+    timed_grad("warp+proj fwd+bwd", warp_grad_fn, (0, 1), feats, kern)
+    timed_grad("head fwd+bwd", head_grad_fn, 0, head_vars, bev_feat)
 
 
 def main():
