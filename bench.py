@@ -37,7 +37,8 @@ REFERENCE_PATH = os.environ.get("VSTA_REFERENCE", "/root/reference/project")
 BATCH = 16
 N_LO, N_HI = 2, 12
 N_REPEAT = 3
-TRAIN_BATCH = 8
+TRAIN_BATCH = 16  # sweep 2026-08-17: b8 102 f/s, b16 121.5, b24 107 (loses
+                  # warp VMEM residency), b32 115.5 - b16 is the knee
 TRAIN_N_LO, TRAIN_N_HI = 2, 6
 PIPELINE_FRAMES = 24  # synthetic frames on disk for the input-included run
 

@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Export a trained checkpoint to a portable StableHLO serving artifact.
+
+New over the reference (which redeploys eager torch + checkpoint,
+project/inference.py:17-48): compiles forward+decode once with weights
+baked in; the artifact loads anywhere with jax alone.
+
+Usage:
+  python export.py --config configs/wildtrack.yaml \
+      --checkpoint checkpoints/best --out model.stablehlo --batch 1
+  # cross-export a TPU artifact from a CPU host (pure-XLA warp only):
+  python export.py --config ... --checkpoint ... --out m.hlo \
+      --platform tpu --warp_impl fused
+"""
+
+import argparse
+import dataclasses
+from pathlib import Path
+
+from vsta_tpu.config import load_config
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", type=str, required=True)
+    ap.add_argument("--checkpoint", type=str, default="checkpoints/best")
+    ap.add_argument("--out", type=str, required=True)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--platform", type=str, default=None,
+                    help="target platform (default: exporting process's)")
+    ap.add_argument("--warp_impl", type=str, default=None,
+                    help="override MODEL.WARP_IMPL (use 'fused' when "
+                         "cross-exporting for another platform)")
+    args = ap.parse_args()
+
+    cfg = load_config(args.config)
+    if args.warp_impl:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, warp_impl=args.warp_impl)
+        )
+    from vsta_tpu.utils.platform import select_platform
+
+    select_platform(cfg.runtime.device)
+
+    import jax
+
+    from vsta_tpu.export import export_serving, save_exported
+    from vsta_tpu.training.checkpoint import CheckpointManager
+    from vsta_tpu.training.optim import build_optimizer
+    from vsta_tpu.training.state import create_state
+
+    state = create_state(cfg, build_optimizer(cfg, 1), jax.random.PRNGKey(0))
+    ckpt_path = Path(args.checkpoint)
+    state, epoch, f1 = CheckpointManager(str(ckpt_path.parent)).restore(
+        ckpt_path.name, state
+    )
+    print(f"[ckpt] loaded {args.checkpoint} (epoch {epoch}, f1={f1:.3f})")
+
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+    platforms = [args.platform] if args.platform else None
+    exp = export_serving(cfg, variables, batch_size=args.batch, platforms=platforms)
+    save_exported(exp, args.out, cfg=cfg)
+    size_mb = Path(args.out).stat().st_size / 1e6
+    print(f"[export] {args.out} ({size_mb:.1f} MB, platforms={list(exp.platforms)}, "
+          f"batch={args.batch})")
+
+
+if __name__ == "__main__":
+    main()
