@@ -283,3 +283,99 @@ def test_windowed_kernel_compiled_on_tpu(rng, cameras):
     np.testing.assert_allclose(
         np.asarray(out) / scale, np.asarray(ref) / scale, atol=2e-2
     )
+
+
+# ---------------------------------------------------------------------------
+# grouped sampler (deformable-attention / shared-warp forward)
+# ---------------------------------------------------------------------------
+
+
+def _grouped_case(rng, G=5, Hf=14, Wf=24, C=8, S=300):
+    """Random per-group maps + locations (in-image, out-of-image, and
+    exact-integer coords), through the caller-side tap machinery."""
+    from vsta_tpu.ops.warp import _anchored_taps, _flat_taps, _pad_feat_br
+
+    maps = jnp.array(rng.standard_normal((G, Hf, Wf, C)).astype(np.float32))
+    locs = np.stack(
+        [rng.uniform(-3, Wf + 3, (G, S)), rng.uniform(-3, Hf + 3, (G, S))], -1
+    ).astype(np.float32)
+    locs[:, :7] = np.round(locs[:, :7])  # integer coords: frac == 0 taps
+    locs = jnp.array(locs)
+    anchors, wts = _anchored_taps(locs, (Hf, Wf))
+    idx4 = _flat_taps(anchors, Wf + 1)
+    fp = _pad_feat_br(maps).reshape(G, (Hf + 1) * (Wf + 1), C)
+    return maps, locs, fp, idx4, wts
+
+
+def test_sample_tiles_grouped_matches_gather(rng):
+    from vsta_tpu.ops.warp_pallas import sample_tiles_grouped
+
+    maps, locs, fp, idx4, wts = _grouped_case(rng)
+    G, P, C = fp.shape
+    # reference: explicit take per group
+    ref = []
+    for g in range(G):
+        vals = jnp.take(fp[g], idx4[g].reshape(-1), axis=0).reshape(-1, 4, C)
+        ref.append(jnp.einsum("nk,nkc->nc", wts[g], vals))
+    ref = jnp.stack(ref)
+
+    with pltpu.force_tpu_interpret_mode():
+        out = sample_tiles_grouped(fp, idx4, wts, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_taps_dot_grouped_matches_einsum(rng):
+    from vsta_tpu.ops.warp_pallas import taps_dot_grouped
+
+    maps, locs, fp, idx4, wts = _grouped_case(rng)
+    G, P, C = fp.shape
+    S = idx4.shape[1]
+    g_out = jnp.array(rng.standard_normal((G, S, C)).astype(np.float32))
+
+    taps = jnp.stack(
+        [
+            jnp.take(fp[g], idx4[g].reshape(-1), axis=0).reshape(S, 4, C)
+            for g in range(G)
+        ]
+    )
+    ref = jnp.einsum("gnkc,gnc->gnk", taps, g_out)
+
+    with pltpu.force_tpu_interpret_mode():
+        out = taps_dot_grouped(fp, g_out, idx4, wts, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
+def test_sample_bilinear_many_grouped_path_fwd_and_grads(rng):
+    """sample_bilinear_many through the grouped Pallas kernels (interpret
+    mode) == the XLA gather path, for the output AND both gradients
+    (feature grad via scatter path, location grad via tap dots)."""
+    import vsta_tpu.ops.warp as warp_mod
+    from vsta_tpu.ops.warp import sample_bilinear_many
+
+    G, Hf, Wf, C, S = 4, 14, 24, 8, 200
+    maps = jnp.array(rng.standard_normal((G, Hf, Wf, C)).astype(np.float32))
+    locs = np.stack(
+        [rng.uniform(-2, Wf + 2, (G, S)), rng.uniform(-2, Hf + 2, (G, S))], -1
+    ).astype(np.float32)
+    locs[:, :5] = np.round(locs[:, :5])
+    locs = jnp.array(locs)
+
+    def loss(maps, locs):
+        y = sample_bilinear_many(maps, locs).astype(jnp.float32)
+        return 0.5 * jnp.sum(y * y), y
+
+    (ref_l, ref_y), (ref_gm, ref_gl) = jax.value_and_grad(
+        loss, argnums=(0, 1), has_aux=True
+    )(maps, locs)
+
+    warp_mod.FORCE_GROUPED_INTERPRET = True
+    try:
+        (out_l, out_y), (out_gm, out_gl) = jax.value_and_grad(
+            loss, argnums=(0, 1), has_aux=True
+        )(maps, locs)
+    finally:
+        warp_mod.FORCE_GROUPED_INTERPRET = False
+
+    np.testing.assert_allclose(np.asarray(out_y), np.asarray(ref_y), atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_gm), np.asarray(ref_gm), atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_gl), np.asarray(ref_gl), atol=1e-3, rtol=1e-3)

@@ -269,7 +269,47 @@ def _gather_taps(feats_vpbc, anchors, feat_hw):
     return jnp.concatenate([top, bot], axis=2)    # tap order matches _anchored_taps
 
 
+# Tests flip this to exercise the grouped Pallas sampler in interpret
+# mode on CPU (the real kernel only lowers on TPU backends).
+FORCE_GROUPED_INTERPRET = False
+
+
+def _grouped_dispatch(feats_vpbc):
+    """(use_pallas, interpret) for the grouped sampler: TPU backend (or
+    forced interpret mode), single device, and one group's map fits the
+    VMEM budget."""
+    if not FORCE_GROUPED_INTERPRET:
+        if jax.default_backend() != "tpu":
+            return False, False
+        # the fused/XLA warp is the multi-chip-safe path (configs/
+        # wildtrack.yaml comment): Pallas custom calls carry no SPMD
+        # partitioning rule, so under a >1-device mesh stay on XLA
+        if jax.device_count() > 1:
+            return False, False
+    from .warp_pallas import GROUPED_BUDGET_BYTES, RWIN
+
+    _, P, K = feats_vpbc.shape
+    p_res = ((P + 7) // 8) * 8 + RWIN
+    k_pad = ((K + 127) // 128) * 128
+    if p_res * k_pad * feats_vpbc.dtype.itemsize > GROUPED_BUDGET_BYTES:
+        return False, False
+    return True, FORCE_GROUPED_INTERPRET
+
+
 def _warp_pairs_shared_impl(feats_vpbc, anchors, wts, feat_hw):
+    use, interp = _grouped_dispatch(feats_vpbc)
+    if use:
+        # windowed scatter-matmul sampler: XLA's per-index gather costs
+        # ~15 ns/index on TPU (70 ms at flagship deform shapes); the
+        # Pallas kernel keeps each group's map VMEM-resident and rides
+        # the MXU instead
+        from .warp_pallas import sample_tiles_grouped
+
+        idx4 = _flat_taps(anchors, feat_hw[1] + 1)
+        return sample_tiles_grouped(
+            feats_vpbc, idx4, wts.astype(jnp.float32),
+            compute_dtype=feats_vpbc.dtype, interpret=interp,
+        )
     taps = _gather_taps(feats_vpbc, anchors, feat_hw)
     return jnp.einsum("vnk,vnkc->vnc", wts.astype(taps.dtype), taps)
 
@@ -305,11 +345,21 @@ def _warp_pairs_shared_bwd(feat_hw, res, g):
         vix = jnp.arange(V)[:, None, None]
         dfeats = dfeats.at[vix, idx4, :].add(contrib)
     # exact weight gradient (drives learned sampling offsets, e.g.
-    # deformable attention): d_wts = <taps, g> per tap - one extra gather
-    taps = _gather_taps(feats_vpbc, anchors, feat_hw)
-    d_wts = jnp.einsum(
-        "vnkc,vnc->vnk", taps.astype(jnp.float32), g.astype(jnp.float32)
-    ).astype(wts.dtype)
+    # deformable attention): d_wts = <taps, g> per tap
+    use, interp = _grouped_dispatch(feats_vpbc)
+    if use:
+        from .warp_pallas import taps_dot_grouped
+
+        d_wts = taps_dot_grouped(
+            feats_vpbc, g, idx4, wts.astype(jnp.float32),
+            compute_dtype=jnp.bfloat16 if fdtype == jnp.bfloat16 else jnp.float32,
+            interpret=interp,
+        ).astype(wts.dtype)
+    else:
+        taps = _gather_taps(feats_vpbc, anchors, feat_hw)
+        d_wts = jnp.einsum(
+            "vnkc,vnc->vnk", taps.astype(jnp.float32), g.astype(jnp.float32)
+        ).astype(wts.dtype)
     import numpy as _np
 
     d_anchors = _np.zeros(anchors.shape, dtype=jax.dtypes.float0)

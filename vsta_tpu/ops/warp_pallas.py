@@ -529,16 +529,17 @@ def _scatter_kernel(
     def _():
         out_ref[0, :, :] = jnp.zeros_like(out_ref[0])
 
-    iota = jax.lax.broadcasted_iota(jnp.int32, (WIN, TILE_N), 0)
-    idx_t = idx_ref[0, 0]  # [TILE_N, 4]
+    idx_t = idx_ref[0, 0]  # [tile, 4]
     wts_t = wts_ref[0, 0]
-    g_t = g_ref[0].astype(compute_dtype)  # [TILE_N, K]
+    tile = idx_t.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (WIN, tile), 0)
+    g_t = g_ref[0].astype(compute_dtype)  # [tile, K]
     first = first_ref[v, t]
     last = last_ref[v, t]
 
     def body(c, _):
         base = c * WIN
-        s_t = jnp.zeros((WIN, TILE_N), jnp.float32)
+        s_t = jnp.zeros((WIN, tile), jnp.float32)
         for k in range(4):
             rel = idx_t[:, k][None, :] - base
             s_t = s_t + jnp.where(iota == rel, wts_t[:, k][None, :], 0.0)
@@ -549,6 +550,40 @@ def _scatter_kernel(
         return 0
 
     jax.lax.fori_loop(first, last + 1, body, 0)
+
+
+def _scatter_gmajor_kernel(
+    idx_ref, wts_ref, g_ref, out_ref, *, compute_dtype, n_tiles, n_win
+):
+    """One program per group: zero the output block once, loop sample
+    tiles in-kernel (same per-program-overhead argument as the grouped
+    sampler's g-major variant)."""
+    out_ref[0, :, :] = jnp.zeros_like(out_ref[0])
+    iota = jax.lax.broadcasted_iota(jnp.int32, (WIN, TILE_N), 0)
+
+    def tloop(t, _):
+        idx_t = idx_ref[0, :, pl.ds(t * TILE_N, TILE_N)]  # [4, TILE]
+        wts_t = wts_ref[0, :, pl.ds(t * TILE_N, TILE_N)]
+        g_t = g_ref[0, pl.ds(t * TILE_N, TILE_N), :].astype(compute_dtype)
+        first = jnp.clip(jnp.min(idx_t) // WIN, 0, n_win - 1)
+        last = jnp.clip(jnp.max(idx_t) // WIN, 0, n_win - 1)
+
+        def body(c, _):
+            base = c * WIN
+            s_t = jnp.zeros((WIN, TILE_N), jnp.float32)
+            for k in range(4):
+                rel = idx_t[k][None, :] - base
+                s_t = s_t + jnp.where(iota == rel, wts_t[k][None, :], 0.0)
+            contrib = jnp.dot(
+                s_t.astype(compute_dtype), g_t, preferred_element_type=jnp.float32
+            )
+            out_ref[0, pl.ds(base, WIN), :] += contrib
+            return 0
+
+        jax.lax.fori_loop(first, last + 1, body, 0)
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, tloop, 0)
 
 
 def scatter_taps_windowed(
@@ -576,9 +611,22 @@ def scatter_taps_windowed(
     V, N, _ = idx.shape
     K = g.shape[-1]
     K_pad = _round_up(K, 128)
-    N_pad = _round_up(N, TILE_N)
     P_pad = _round_up(p_out, WIN)
-    T = N_pad // TILE_N
+
+    # g-major variant: one program per group when the whole per-group
+    # workload fits VMEM (large-G deformable-attention backward); else
+    # the (group, tile) grid with overhead-amortizing tile sizes
+    N_pad_g = _round_up(N, TILE_N)
+    gmajor_bytes = 2 * ((N_pad_g + P_pad) * K_pad * 4 + N_pad_g * 4 * 8)
+    gmajor = gmajor_bytes <= _GMAJOR_VMEM_BYTES
+    if gmajor:
+        tile, T = N_pad_g, 1
+    else:
+        # large-G callers need big tiles for the same per-program-
+        # overhead reason as the grouped sampler (see _grouped_tile)
+        tile = _grouped_tile(V, N)
+        T = _round_up(N, tile) // tile
+    N_pad = tile * T if T > 1 else N_pad_g
 
     g = g.astype(jnp.float32)
     if K_pad != K:
@@ -588,8 +636,33 @@ def scatter_taps_windowed(
         idx = jnp.pad(idx, ((0, 0), (0, N_pad - N), (0, 0)))
         wts = jnp.pad(wts, ((0, 0), (0, N_pad - N), (0, 0)))
 
-    idx_t = idx.reshape(V, T, TILE_N, 4)
-    wts_t = wts.reshape(V, T, TILE_N, 4).astype(jnp.float32)
+    if gmajor:
+        # tap-major layout (see note above _span_dot)
+        idx_tm = jnp.transpose(idx, (0, 2, 1)).astype(jnp.int32)
+        wts_tm = jnp.transpose(wts, (0, 2, 1)).astype(jnp.float32)
+        out = pl.pallas_call(
+            functools.partial(
+                _scatter_gmajor_kernel,
+                compute_dtype=compute_dtype,
+                n_tiles=N_pad // TILE_N,
+                n_win=P_pad // WIN,
+            ),
+            out_shape=jax.ShapeDtypeStruct((V, P_pad, K_pad), jnp.float32),
+            grid=(V,),
+            in_specs=[
+                pl.BlockSpec((1, 4, N_pad), lambda v: (v, 0, 0)),
+                pl.BlockSpec((1, 4, N_pad), lambda v: (v, 0, 0)),
+                pl.BlockSpec((1, N_pad, K_pad), lambda v: (v, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, P_pad, K_pad), lambda v: (v, 0, 0)),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=int(gmajor_bytes + 16 * 1024 * 1024),
+            ),
+        )(idx_tm, wts_tm, g)
+        return out[:, :p_out, :K]
+
+    idx_t = idx.reshape(V, T, tile, 4)
+    wts_t = wts.reshape(V, T, tile, 4).astype(jnp.float32)
     active = wts_t > 0.0
     lo = jnp.where(active, idx_t, P_pad)
     hi = jnp.where(active, idx_t, -1)
@@ -601,13 +674,13 @@ def scatter_taps_windowed(
         grid=(V, T),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, TILE_N, 4), lambda v, t, *_: (v, t, 0, 0), memory_space=pltpu.VMEM
+                (1, 1, tile, 4), lambda v, t, *_: (v, t, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, 1, TILE_N, 4), lambda v, t, *_: (v, t, 0, 0), memory_space=pltpu.VMEM
+                (1, 1, tile, 4), lambda v, t, *_: (v, t, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, TILE_N, K_pad), lambda v, t, *_: (v, t, 0), memory_space=pltpu.VMEM
+                (1, tile, K_pad), lambda v, t, *_: (v, t, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
@@ -621,6 +694,355 @@ def scatter_taps_windowed(
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
     )(first, last, idx_t, wts_t.astype(jnp.float32), g)
     return out[:, :p_out, :K]
+
+
+# ---------------------------------------------------------------------------
+# grouped sampler: G independent maps, G independent index sets
+# ---------------------------------------------------------------------------
+#
+# The deformable-attention sampler (models/fusion.py DeformableFusion) and
+# the shared-camera row-pair warp (_warp_pairs_shared) both reduce to:
+# for each group g, bilinearly read S locations from map g. XLA lowers
+# that as a per-index gather (~15 ns/index on this TPU: 70 ms for the
+# flagship deform shapes G=224, S=10800). Here each group's map is
+# VMEM-resident for all its sample tiles and every tile is one (or a
+# few) [TILE_N, RWIN] @ [RWIN, K] scatter-matmuls over the span its taps
+# actually touch - the same trick as the resident warp kernel, minus the
+# cross-view sum. Span bounds are computed in-kernel from the tap
+# indices (no scalar prefetch needed: a [TILE_N, 4] min/max is VPU
+# noise), which keeps the grid spec trivial.
+
+GROUPED_BUDGET_BYTES = 64 * 1024 * 1024  # one group's map must fit VMEM
+
+
+def _grouped_tile(G: int, N: int) -> int:
+    """Samples per grid program. Large-G workloads (deformable attention:
+    G = B*V*heads) would otherwise spawn tens of thousands of TILE_N
+    programs whose ~us-scale per-step overhead dwarfs the 0.1-us matmuls;
+    bigger tiles amortize it (overhead scales 1/tile, one-hot build cost
+    is tile-invariant, span waste grows slowly)."""
+    tile = TILE_N
+    while G * ((N + tile - 1) // tile) > 4096 and tile < 2048:
+        tile *= 2
+    return tile
+
+
+# A (g, tile)-grid program does ~0.1 us of matmul behind ~us of grid-step
+# overhead when G is large (deformable attention: G = B*V*heads -> tens
+# of thousands of programs). The g-major variants below run ONE program
+# per group and loop the sample tiles in-kernel (the same trick as the
+# resident warp kernel's span walk): block DMA happens once per group,
+# the tile loop costs scalar ops only. Used whenever the per-group
+# blocks fit VMEM (see _GMAJOR_VMEM_BYTES); the (g, t) grid remains for
+# wide-K cases like the batch-folded shared warp.
+
+_GMAJOR_VMEM_BYTES = 48 * 1024 * 1024
+
+
+# Index/weight layout note: the 4 taps ride the SUBLANE axis ([G, 4, N],
+# N in lanes). A [N, 4] layout looks natural but pads the 4-wide minor
+# dim to 128 lanes inside VMEM - a 32x blowup that OOMs the g-major
+# blocks (43k-sample group: 692 KB of indices becomes 44 MB). The
+# one-hot matrix is built [RWIN, tile]-oriented to match and contracted
+# with dot_general over dim 0 (a transposed matmul, native on the MXU).
+
+
+def _span_dot(s, span, compute_dtype):
+    """[RWIN, tile] one-hot (f32) x [RWIN, K] span -> [tile, K] f32."""
+    return jax.lax.dot_general(
+        s.astype(compute_dtype), span,
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _grouped_sample_gmajor_kernel(
+    idx_ref, wts_ref, map_ref, out_ref, *, compute_dtype, p_res, n_tiles
+):
+    iota = jax.lax.broadcasted_iota(jnp.int32, (RWIN, TILE_N), 0)
+
+    def tloop(t, _):
+        idxb = idx_ref[0, :, pl.ds(t * TILE_N, TILE_N)]  # [4, TILE]
+        wtsb = wts_ref[0, :, pl.ds(t * TILE_N, TILE_N)]
+        lo = jnp.min(idxb)
+        hi = jnp.max(idxb)
+        lo8 = jnp.clip((lo // 8) * 8, 0, p_res - RWIN)
+        nw = (hi - lo8) // RWIN + 1
+
+        def body(w, acc):
+            start = pl.multiple_of(lo8 + w * RWIN, 8)
+            s = jnp.zeros((RWIN, TILE_N), jnp.float32)
+            for k in range(4):
+                rel = idxb[k][None, :] - start
+                s = s + jnp.where(iota == rel, wtsb[k][None, :], 0.0)
+            return acc + _span_dot(
+                s, map_ref[0, pl.ds(start, RWIN), :], compute_dtype
+            )
+
+        acc = jax.lax.fori_loop(
+            0, nw, body, jnp.zeros((TILE_N, out_ref.shape[-1]), jnp.float32)
+        )
+        out_ref[0, pl.ds(t * TILE_N, TILE_N), :] = acc.astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, tloop, 0)
+
+
+def _grouped_sample_kernel(idx_ref, wts_ref, map_ref, out_ref, *, compute_dtype, p_res):
+    idxb = idx_ref[0]   # [4, tile] int32 (always in [0, P): clamped taps)
+    wtsb = wts_ref[0]   # [4, tile] f32 (0 = masked)
+    tile = idxb.shape[1]
+    # span bounds over ALL taps (not just wts>0): zero-weight taps still
+    # need exact tap-dot gradients (d_wts at integer coords is nonzero),
+    # and clamped out-of-image indices are valid rows
+    lo = jnp.min(idxb)
+    hi = jnp.max(idxb)
+    lo8 = jnp.clip((lo // 8) * 8, 0, p_res - RWIN)
+    nw = (hi - lo8) // RWIN + 1
+    iota = jax.lax.broadcasted_iota(jnp.int32, (RWIN, tile), 0)
+
+    def body(w, acc):
+        start = pl.multiple_of(lo8 + w * RWIN, 8)
+        s = jnp.zeros((RWIN, tile), jnp.float32)
+        for k in range(4):
+            rel = idxb[k][None, :] - start
+            s = s + jnp.where(iota == rel, wtsb[k][None, :], 0.0)
+        return acc + _span_dot(
+            s, map_ref[0, pl.ds(start, RWIN), :], compute_dtype
+        )
+
+    acc = jax.lax.fori_loop(
+        0, nw, body, jnp.zeros((tile, out_ref.shape[-1]), jnp.float32)
+    )
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+def sample_tiles_grouped(
+    maps: jax.Array,
+    idx: jax.Array,
+    wts: jax.Array,
+    *,
+    compute_dtype: jnp.dtype = jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """Per-group bilinear sampling as windowed scatter-matmuls.
+
+    maps: [G, P, K] (P = padded flat pixels of one feature map)
+    idx:  [G, N, 4] int32 flat taps into [0, P); wts [G, N, 4] (0 = masked)
+    Returns [G, N, K] in ``compute_dtype`` (f32-accumulated).
+
+    Replaces XLA's per-index gather for the deformable-attention sampler
+    and the shared-camera warp forward (see module doc).
+    """
+    G, P, K = maps.shape
+    N = idx.shape[1]
+    P_res = _round_up(P, 8) + RWIN
+    K_pad = _round_up(K, 128)
+    itemsize = jnp.dtype(compute_dtype).itemsize
+
+    N_pad_g = _round_up(N, TILE_N)
+    gmajor_bytes = 2 * ((P_res + N_pad_g) * K_pad * itemsize + N_pad_g * 4 * 8)
+    if gmajor_bytes <= _GMAJOR_VMEM_BYTES:
+        tile, T = N_pad_g, 1  # one program per group, tiles loop in-kernel
+    else:
+        tile = _grouped_tile(G, N)
+        T = _round_up(N, tile) // tile
+    N_pad = tile * T if T > 1 else N_pad_g
+
+    maps = maps.astype(compute_dtype)
+    maps = jnp.pad(maps, ((0, 0), (0, P_res - P), (0, K_pad - K)))
+    if N_pad != N:
+        idx = jnp.pad(idx, ((0, 0), (0, N_pad - N), (0, 0)))
+        wts = jnp.pad(wts, ((0, 0), (0, N_pad - N), (0, 0)))
+    # tap-major layout (see note above _span_dot)
+    idx_t = jnp.transpose(idx, (0, 2, 1)).astype(jnp.int32)      # [G, 4, N_pad]
+    wts_t = jnp.transpose(wts, (0, 2, 1)).astype(jnp.float32)
+
+    if T == 1:
+        kern_fn = functools.partial(
+            _grouped_sample_gmajor_kernel,
+            compute_dtype=compute_dtype,
+            p_res=P_res,
+            n_tiles=N_pad // TILE_N,
+        )
+    else:
+        kern_fn = functools.partial(
+            _grouped_sample_kernel, compute_dtype=compute_dtype, p_res=P_res
+        )
+    kern = pl.pallas_call(
+        kern_fn,
+        out_shape=jax.ShapeDtypeStruct((G, N_pad, K_pad), compute_dtype),
+        grid=(G, T),
+        in_specs=[
+            pl.BlockSpec((1, 4, tile), lambda g, t: (g, 0, t)),
+            pl.BlockSpec((1, 4, tile), lambda g, t: (g, 0, t)),
+            pl.BlockSpec((1, P_res, K_pad), lambda g, t: (g, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tile, K_pad), lambda g, t: (g, t, 0)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(
+                (gmajor_bytes if T == 1 else (P_res + 2 * tile) * K_pad * itemsize)
+                + 16 * 1024 * 1024
+            ),
+        ),
+        interpret=interpret,
+    )
+    out = kern(idx_t, wts_t, maps)
+    return out[:, :N, :K]
+
+
+def _grouped_tapdot_gmajor_kernel(
+    idx_ref, wts_ref, g_ref, map_ref, out_ref, *, compute_dtype, p_res, n_tiles
+):
+    iota = jax.lax.broadcasted_iota(jnp.int32, (RWIN, TILE_N), 0)
+
+    def tloop(t, _):
+        idxb = idx_ref[0, :, pl.ds(t * TILE_N, TILE_N)]  # [4, TILE]
+        gt = g_ref[0, pl.ds(t * TILE_N, TILE_N), :].astype(compute_dtype)
+        lo = jnp.min(idxb)
+        hi = jnp.max(idxb)
+        lo8 = jnp.clip((lo // 8) * 8, 0, p_res - RWIN)
+        nw = (hi - lo8) // RWIN + 1
+
+        def body(w, acc):
+            start = pl.multiple_of(lo8 + w * RWIN, 8)
+            span = map_ref[0, pl.ds(start, RWIN), :]
+            dots = jax.lax.dot_general(
+                span, gt, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [RWIN, TILE_N]
+            new = []
+            for k in range(4):
+                rel = idxb[k][None, :] - start
+                new.append(acc[k] + jnp.sum(jnp.where(iota == rel, dots, 0.0), axis=0))
+            return tuple(new)
+
+        acc = jax.lax.fori_loop(
+            0, nw, body, tuple(jnp.zeros((TILE_N,), jnp.float32) for _ in range(4))
+        )
+        for k in range(4):
+            out_ref[0, t, k, :] = acc[k]
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, tloop, 0)
+
+
+def _grouped_tapdot_kernel(idx_ref, wts_ref, g_ref, map_ref, out_ref, *, compute_dtype, p_res):
+    idxb = idx_ref[0]   # [4, tile]
+    tile = idxb.shape[1]
+    lo = jnp.min(idxb)
+    hi = jnp.max(idxb)
+    lo8 = jnp.clip((lo // 8) * 8, 0, p_res - RWIN)
+    nw = (hi - lo8) // RWIN + 1
+    iota = jax.lax.broadcasted_iota(jnp.int32, (RWIN, tile), 0)
+    gt = g_ref[0].astype(compute_dtype)  # [tile, K]
+
+    def body(w, acc):
+        start = pl.multiple_of(lo8 + w * RWIN, 8)
+        span = map_ref[0, pl.ds(start, RWIN), :]
+        # dots[r, s] = <map[start + r], g[s]> - contract K without
+        # materializing a transpose
+        dots = jax.lax.dot_general(
+            span, gt, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [RWIN, TILE_N]
+        new = []
+        for k in range(4):
+            rel = idxb[k][None, :] - start             # [1, tile]
+            new.append(acc[k] + jnp.sum(jnp.where(iota == rel, dots, 0.0), axis=0))
+        return tuple(new)
+
+    acc = jax.lax.fori_loop(
+        0, nw, body, tuple(jnp.zeros((tile,), jnp.float32) for _ in range(4))
+    )
+    for k in range(4):
+        out_ref[0, 0, k, :] = acc[k]
+
+
+def taps_dot_grouped(
+    maps: jax.Array,
+    gout: jax.Array,
+    idx: jax.Array,
+    wts: jax.Array,
+    *,
+    compute_dtype: jnp.dtype = jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """d_wts of the grouped sampler: d_wts[g,n,k] = <maps[g, idx[g,n,k]], gout[g,n]>.
+
+    maps [G, P, K]; gout [G, N, K]; idx/wts [G, N, 4].
+    Returns [G, N, 4] float32. The weight gradient drives LEARNED
+    sampling locations (deformable attention); masked taps get junk
+    values that the caller's in-image mask multiplies away - identical
+    semantics to the XLA re-gather path (_warp_pairs_shared_bwd).
+    """
+    G, P, K = maps.shape
+    N = idx.shape[1]
+    P_res = _round_up(P, 8) + RWIN
+    K_pad = _round_up(K, 128)
+    itemsize = jnp.dtype(compute_dtype).itemsize
+
+    N_pad_g = _round_up(N, TILE_N)
+    gmajor_bytes = 2 * ((P_res + 2 * N_pad_g) * K_pad * itemsize + N_pad_g * 4 * 8)
+    gmajor = gmajor_bytes <= _GMAJOR_VMEM_BYTES
+    if gmajor:
+        tile, T = N_pad_g, 1
+        TT = N_pad_g // TILE_N  # in-kernel tile count (output layout)
+    else:
+        tile = _grouped_tile(G, N)
+        T = _round_up(N, tile) // tile
+        TT = T
+    N_pad = tile * T if T > 1 else N_pad_g
+
+    maps = maps.astype(compute_dtype)
+    maps = jnp.pad(maps, ((0, 0), (0, P_res - P), (0, K_pad - K)))
+    gout = gout.astype(compute_dtype)
+    if K_pad != K:
+        gout = jnp.pad(gout, ((0, 0), (0, 0), (0, K_pad - K)))
+    if N_pad != N:
+        gout = jnp.pad(gout, ((0, 0), (0, N_pad - N), (0, 0)))
+        idx = jnp.pad(idx, ((0, 0), (0, N_pad - N), (0, 0)))
+        wts = jnp.pad(wts, ((0, 0), (0, N_pad - N), (0, 0)))
+    # tap-major layout (see note above _span_dot)
+    idx_tm = jnp.transpose(idx, (0, 2, 1)).astype(jnp.int32)     # [G, 4, N_pad]
+    wts_tm = jnp.transpose(wts, (0, 2, 1)).astype(jnp.float32)
+
+    if gmajor:
+        kern_fn = functools.partial(
+            _grouped_tapdot_gmajor_kernel,
+            compute_dtype=compute_dtype, p_res=P_res, n_tiles=TT,
+        )
+        out_block = pl.BlockSpec((1, TT, 4, TILE_N), lambda g, t: (g, 0, 0, 0))
+        out_tile = TILE_N
+    else:
+        kern_fn = functools.partial(
+            _grouped_tapdot_kernel, compute_dtype=compute_dtype, p_res=P_res
+        )
+        out_block = pl.BlockSpec((1, 1, 4, tile), lambda g, t: (g, t, 0, 0))
+        out_tile = tile
+
+    kern = pl.pallas_call(
+        kern_fn,
+        out_shape=jax.ShapeDtypeStruct((G, TT, 4, out_tile), jnp.float32),
+        grid=(G, T),
+        in_specs=[
+            pl.BlockSpec((1, 4, tile), lambda g, t: (g, 0, t)),
+            pl.BlockSpec((1, 4, tile), lambda g, t: (g, 0, t)),
+            pl.BlockSpec((1, tile, K_pad), lambda g, t: (g, t, 0)),
+            pl.BlockSpec((1, P_res, K_pad), lambda g, t: (g, 0, 0)),
+        ],
+        out_specs=out_block,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(
+                (gmajor_bytes if gmajor else (P_res + 2 * tile) * K_pad * itemsize)
+                + 16 * 1024 * 1024
+            ),
+        ),
+        interpret=interpret,
+    )
+    out = kern(idx_tm, wts_tm, gout, maps)  # [G, TT, 4, out_tile]
+    out = jnp.transpose(out, (0, 1, 3, 2)).reshape(G, N_pad, 4)
+    return out[:, :N]
 
 
 # ---------------------------------------------------------------------------
