@@ -148,9 +148,13 @@ def profile_train(args):
 
     @ft.partial(jax.jit, static_argnums=(0,))
     def run_grad(n, state, batch):
+        # reduce over EVERY grad leaf - summing a single leaf would let
+        # XLA dead-code-eliminate most of the backward
         def body(i, acc):
-            return jax.grad(fwd_loss)(state.params, batch, acc * 1e-30)[
-                "detector"]["stem0"]["kernel"].sum().astype(jnp.float32)
+            g = jax.grad(fwd_loss)(state.params, batch, acc * 1e-30)
+            return jax.tree_util.tree_reduce(
+                lambda s, x: s + x.sum().astype(jnp.float32), g,
+                jnp.float32(0.0))
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
     global N_LO, N_HI
