@@ -286,10 +286,10 @@ def _grouped_dispatch(feats_vpbc):
         # partitioning rule, so under a >1-device mesh stay on XLA
         if jax.device_count() > 1:
             return False, False
-    from .warp_pallas import GROUPED_BUDGET_BYTES, RWIN
+    from .warp_pallas import GROUPED_BUDGET_BYTES, GRWIN
 
     _, P, K = feats_vpbc.shape
-    p_res = ((P + 7) // 8) * 8 + RWIN
+    p_res = ((P + 7) // 8) * 8 + GRWIN
     k_pad = ((K + 127) // 128) * 128
     if p_res * k_pad * feats_vpbc.dtype.itemsize > GROUPED_BUDGET_BYTES:
         return False, False

@@ -737,18 +737,23 @@ def _grouped_tile(G: int, N: int) -> int:
 # wide-K cases like the batch-folded shared warp.
 
 _GMAJOR_VMEM_BYTES = 48 * 1024 * 1024
+# span width for the grouped kernels. Wider than the resident kernel's
+# RWIN=384: an on-TPU sweep at flagship deform shapes (module fwd, ms):
+# 128->47.5, 256->32.2, 384->28.8, 512->25.1, 1024->25.1, 1280->26.4 -
+# fewer span iterations and wider MXU matmuls win until ~512.
+GRWIN = 512
 
 
 # Index/weight layout note: the 4 taps ride the SUBLANE axis ([G, 4, N],
 # N in lanes). A [N, 4] layout looks natural but pads the 4-wide minor
 # dim to 128 lanes inside VMEM - a 32x blowup that OOMs the g-major
 # blocks (43k-sample group: 692 KB of indices becomes 44 MB). The
-# one-hot matrix is built [RWIN, tile]-oriented to match and contracted
+# one-hot matrix is built [GRWIN, tile]-oriented to match and contracted
 # with dot_general over dim 0 (a transposed matmul, native on the MXU).
 
 
 def _span_dot(s, span, compute_dtype):
-    """[RWIN, tile] one-hot (f32) x [RWIN, K] span -> [tile, K] f32."""
+    """[GRWIN, tile] one-hot (f32) x [GRWIN, K] span -> [tile, K] f32."""
     return jax.lax.dot_general(
         s.astype(compute_dtype), span,
         (((0,), (0,)), ((), ())),
@@ -759,24 +764,24 @@ def _span_dot(s, span, compute_dtype):
 def _grouped_sample_gmajor_kernel(
     idx_ref, wts_ref, map_ref, out_ref, *, compute_dtype, p_res, n_tiles
 ):
-    iota = jax.lax.broadcasted_iota(jnp.int32, (RWIN, TILE_N), 0)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (GRWIN, TILE_N), 0)
 
     def tloop(t, _):
         idxb = idx_ref[0, :, pl.ds(t * TILE_N, TILE_N)]  # [4, TILE]
         wtsb = wts_ref[0, :, pl.ds(t * TILE_N, TILE_N)]
         lo = jnp.min(idxb)
         hi = jnp.max(idxb)
-        lo8 = jnp.clip((lo // 8) * 8, 0, p_res - RWIN)
-        nw = (hi - lo8) // RWIN + 1
+        lo8 = jnp.clip((lo // 8) * 8, 0, p_res - GRWIN)
+        nw = (hi - lo8) // GRWIN + 1
 
         def body(w, acc):
-            start = pl.multiple_of(lo8 + w * RWIN, 8)
-            s = jnp.zeros((RWIN, TILE_N), jnp.float32)
+            start = pl.multiple_of(lo8 + w * GRWIN, 8)
+            s = jnp.zeros((GRWIN, TILE_N), jnp.float32)
             for k in range(4):
                 rel = idxb[k][None, :] - start
                 s = s + jnp.where(iota == rel, wtsb[k][None, :], 0.0)
             return acc + _span_dot(
-                s, map_ref[0, pl.ds(start, RWIN), :], compute_dtype
+                s, map_ref[0, pl.ds(start, GRWIN), :], compute_dtype
             )
 
         acc = jax.lax.fori_loop(
@@ -797,18 +802,18 @@ def _grouped_sample_kernel(idx_ref, wts_ref, map_ref, out_ref, *, compute_dtype,
     # and clamped out-of-image indices are valid rows
     lo = jnp.min(idxb)
     hi = jnp.max(idxb)
-    lo8 = jnp.clip((lo // 8) * 8, 0, p_res - RWIN)
-    nw = (hi - lo8) // RWIN + 1
-    iota = jax.lax.broadcasted_iota(jnp.int32, (RWIN, tile), 0)
+    lo8 = jnp.clip((lo // 8) * 8, 0, p_res - GRWIN)
+    nw = (hi - lo8) // GRWIN + 1
+    iota = jax.lax.broadcasted_iota(jnp.int32, (GRWIN, tile), 0)
 
     def body(w, acc):
-        start = pl.multiple_of(lo8 + w * RWIN, 8)
-        s = jnp.zeros((RWIN, tile), jnp.float32)
+        start = pl.multiple_of(lo8 + w * GRWIN, 8)
+        s = jnp.zeros((GRWIN, tile), jnp.float32)
         for k in range(4):
             rel = idxb[k][None, :] - start
             s = s + jnp.where(iota == rel, wtsb[k][None, :], 0.0)
         return acc + _span_dot(
-            s, map_ref[0, pl.ds(start, RWIN), :], compute_dtype
+            s, map_ref[0, pl.ds(start, GRWIN), :], compute_dtype
         )
 
     acc = jax.lax.fori_loop(
@@ -836,7 +841,7 @@ def sample_tiles_grouped(
     """
     G, P, K = maps.shape
     N = idx.shape[1]
-    P_res = _round_up(P, 8) + RWIN
+    P_res = _round_up(P, 8) + GRWIN
     K_pad = _round_up(K, 128)
     itemsize = jnp.dtype(compute_dtype).itemsize
 
@@ -894,23 +899,23 @@ def sample_tiles_grouped(
 def _grouped_tapdot_gmajor_kernel(
     idx_ref, wts_ref, g_ref, map_ref, out_ref, *, compute_dtype, p_res, n_tiles
 ):
-    iota = jax.lax.broadcasted_iota(jnp.int32, (RWIN, TILE_N), 0)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (GRWIN, TILE_N), 0)
 
     def tloop(t, _):
         idxb = idx_ref[0, :, pl.ds(t * TILE_N, TILE_N)]  # [4, TILE]
         gt = g_ref[0, pl.ds(t * TILE_N, TILE_N), :].astype(compute_dtype)
         lo = jnp.min(idxb)
         hi = jnp.max(idxb)
-        lo8 = jnp.clip((lo // 8) * 8, 0, p_res - RWIN)
-        nw = (hi - lo8) // RWIN + 1
+        lo8 = jnp.clip((lo // 8) * 8, 0, p_res - GRWIN)
+        nw = (hi - lo8) // GRWIN + 1
 
         def body(w, acc):
-            start = pl.multiple_of(lo8 + w * RWIN, 8)
-            span = map_ref[0, pl.ds(start, RWIN), :]
+            start = pl.multiple_of(lo8 + w * GRWIN, 8)
+            span = map_ref[0, pl.ds(start, GRWIN), :]
             dots = jax.lax.dot_general(
                 span, gt, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # [RWIN, TILE_N]
+            )  # [GRWIN, TILE_N]
             new = []
             for k in range(4):
                 rel = idxb[k][None, :] - start
@@ -932,20 +937,20 @@ def _grouped_tapdot_kernel(idx_ref, wts_ref, g_ref, map_ref, out_ref, *, compute
     tile = idxb.shape[1]
     lo = jnp.min(idxb)
     hi = jnp.max(idxb)
-    lo8 = jnp.clip((lo // 8) * 8, 0, p_res - RWIN)
-    nw = (hi - lo8) // RWIN + 1
-    iota = jax.lax.broadcasted_iota(jnp.int32, (RWIN, tile), 0)
+    lo8 = jnp.clip((lo // 8) * 8, 0, p_res - GRWIN)
+    nw = (hi - lo8) // GRWIN + 1
+    iota = jax.lax.broadcasted_iota(jnp.int32, (GRWIN, tile), 0)
     gt = g_ref[0].astype(compute_dtype)  # [tile, K]
 
     def body(w, acc):
-        start = pl.multiple_of(lo8 + w * RWIN, 8)
-        span = map_ref[0, pl.ds(start, RWIN), :]
+        start = pl.multiple_of(lo8 + w * GRWIN, 8)
+        span = map_ref[0, pl.ds(start, GRWIN), :]
         # dots[r, s] = <map[start + r], g[s]> - contract K without
         # materializing a transpose
         dots = jax.lax.dot_general(
             span, gt, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [RWIN, TILE_N]
+        )  # [GRWIN, TILE_N]
         new = []
         for k in range(4):
             rel = idxb[k][None, :] - start             # [1, tile]
@@ -978,7 +983,7 @@ def taps_dot_grouped(
     """
     G, P, K = maps.shape
     N = idx.shape[1]
-    P_res = _round_up(P, 8) + RWIN
+    P_res = _round_up(P, 8) + GRWIN
     K_pad = _round_up(K, 128)
     itemsize = jnp.dtype(compute_dtype).itemsize
 
