@@ -151,7 +151,7 @@ def bench_tpu():
     return fps, mfu_pct
 
 
-def bench_train_tpu():
+def bench_train_tpu(config="configs/wildtrack.yaml", batch=None):
     """Full training-step rate (fwd+bwd+optimizer) at flagship shapes."""
     import functools
 
@@ -163,8 +163,8 @@ def bench_train_tpu():
     from vsta_tpu.training.optim import build_optimizer
     from vsta_tpu.training.state import create_state, make_train_step
 
-    cfg = load_config("configs/wildtrack.yaml")
-    B, V = TRAIN_BATCH, cfg.data.views
+    cfg = load_config(config)
+    B, V = batch or TRAIN_BATCH, cfg.data.views
     H, W = cfg.data.img_size
     rng = np.random.default_rng(0)
     Ks, Rts = zip(*(make_ring_camera(v, V, img_hw=(H, W)) for v in range(V)))
@@ -357,6 +357,10 @@ def main():
     train_fps = _retry(bench_train_tpu, "train-step") if not os.environ.get(
         "VSTA_BENCH_FAST"
     ) else None
+    deform_fps = _retry(
+        lambda: bench_train_tpu("configs/wildtrack_deform.yaml", batch=8),
+        "deform-train-step",
+    ) if not os.environ.get("VSTA_BENCH_FAST") else None
     pipe = _retry(bench_pipeline_tpu, "input-pipeline") if not os.environ.get(
         "VSTA_BENCH_FAST"
     ) else None
@@ -371,6 +375,13 @@ def main():
             "metric": "wildtrack_train_frames_per_sec",
             "value": round(train_fps, 3), "unit": "frames/s/chip",
             "vs_baseline": round(train_fps / max(1e-9, ref_fps), 2),
+        }))
+    if deform_fps is not None:
+        extras["deform_train_fps"] = round(deform_fps, 3)
+        print(json.dumps({
+            "metric": "wildtrack_deform_train_frames_per_sec",
+            "value": round(deform_fps, 3), "unit": "frames/s/chip",
+            "vs_baseline": round(deform_fps / max(1e-9, ref_fps), 2),
         }))
     if pipe is not None:
         fps_cold, fps_warm = pipe

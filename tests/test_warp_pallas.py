@@ -379,3 +379,31 @@ def test_sample_bilinear_many_grouped_path_fwd_and_grads(rng):
     np.testing.assert_allclose(np.asarray(out_y), np.asarray(ref_y), atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(out_gm), np.asarray(ref_gm), atol=1e-4, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(out_gl), np.asarray(ref_gl), atol=1e-3, rtol=1e-3)
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="needs a real TPU backend"
+)
+def test_grouped_sampler_compiled_on_tpu(rng):
+    """COMPILED grouped sampler + tap-dot vs the XLA gather reference."""
+    from vsta_tpu.ops.warp_pallas import sample_tiles_grouped, taps_dot_grouped
+
+    maps, locs, fp, idx4, wts = _grouped_case(rng, G=6, S=700)
+    G, P, C = fp.shape
+    ref = []
+    for g in range(G):
+        vals = jnp.take(fp[g], idx4[g].reshape(-1), axis=0).reshape(-1, 4, C)
+        ref.append(jnp.einsum("nk,nkc->nc", wts[g], vals))
+    ref = jnp.stack(ref)
+    out = sample_tiles_grouped(fp, idx4, wts, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+    S = idx4.shape[1]
+    g_out = jnp.array(rng.standard_normal((G, S, C)).astype(np.float32))
+    taps = jnp.stack(
+        [jnp.take(fp[g], idx4[g].reshape(-1), axis=0).reshape(S, 4, C) for g in range(G)]
+    )
+    ref_d = jnp.einsum("gnkc,gnc->gnk", taps, g_out)
+    out_d = taps_dot_grouped(fp, g_out, idx4, wts, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out_d), np.asarray(ref_d), atol=1e-3, rtol=1e-3)
