@@ -52,6 +52,18 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _mxu_precision(compute_dtype):
+    """f32 kernels must ask for HIGHEST: the MXU's default f32 matmul is
+    a fast bf16-pass emulation (~1e-2 abs error on O(1) data - measured
+    on-device; interpret mode is exact). bf16 inputs are single-pass
+    either way."""
+    return (
+        jax.lax.Precision.HIGHEST
+        if jnp.dtype(compute_dtype) == jnp.float32
+        else None
+    )
+
+
 # ---------------------------------------------------------------------------
 # resident kernel (shared cameras, feature block fits VMEM)
 # ---------------------------------------------------------------------------
@@ -93,6 +105,7 @@ def _resident_kernel(
             s.astype(compute_dtype),
             feats_ref[v, pl.ds(start, RWIN), :],
             preferred_element_type=jnp.float32,
+            precision=_mxu_precision(compute_dtype),
         )
 
     acc = jax.lax.fori_loop(
@@ -265,6 +278,7 @@ def _windowed_kernel(
             s.astype(compute_dtype),
             buf_ref[slot],
             preferred_element_type=jnp.float32,
+            precision=_mxu_precision(compute_dtype),
         )
 
     acc = jax.lax.fori_loop(
@@ -544,7 +558,9 @@ def _scatter_kernel(
             rel = idx_t[:, k][None, :] - base
             s_t = s_t + jnp.where(iota == rel, wts_t[:, k][None, :], 0.0)
         contrib = jnp.dot(
-            s_t.astype(compute_dtype), g_t, preferred_element_type=jnp.float32
+            s_t.astype(compute_dtype), g_t,
+            preferred_element_type=jnp.float32,
+            precision=_mxu_precision(compute_dtype),
         )
         out_ref[0, pl.ds(base, WIN), :] += contrib
         return 0
@@ -575,7 +591,9 @@ def _scatter_gmajor_kernel(
                 rel = idx_t[k][None, :] - base
                 s_t = s_t + jnp.where(iota == rel, wts_t[k][None, :], 0.0)
             contrib = jnp.dot(
-                s_t.astype(compute_dtype), g_t, preferred_element_type=jnp.float32
+                s_t.astype(compute_dtype), g_t,
+                preferred_element_type=jnp.float32,
+                precision=_mxu_precision(compute_dtype),
             )
             out_ref[0, pl.ds(base, WIN), :] += contrib
             return 0
@@ -758,6 +776,7 @@ def _span_dot(s, span, compute_dtype):
         s.astype(compute_dtype), span,
         (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=_mxu_precision(compute_dtype),
     )
 
 
@@ -915,6 +934,7 @@ def _grouped_tapdot_gmajor_kernel(
             dots = jax.lax.dot_general(
                 span, gt, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=_mxu_precision(compute_dtype),
             )  # [GRWIN, TILE_N]
             new = []
             for k in range(4):
@@ -950,6 +970,7 @@ def _grouped_tapdot_kernel(idx_ref, wts_ref, g_ref, map_ref, out_ref, *, compute
         dots = jax.lax.dot_general(
             span, gt, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=_mxu_precision(compute_dtype),
         )  # [GRWIN, TILE_N]
         new = []
         for k in range(4):
@@ -1066,7 +1087,9 @@ def _warp_kernel(idx_ref, wts_ref, feat_ref, out_ref, *, n_views: int, P: int):
             w_k = wts_ref[0, v, :, k][:, None]
             s = s + jnp.where(pcols == idx_k, w_k, 0.0)
         acc = acc + jnp.dot(
-            s, feat_ref[0, v].astype(jnp.float32), preferred_element_type=jnp.float32
+            s, feat_ref[0, v].astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
     out_ref[0] = acc.astype(out_ref.dtype)
 
