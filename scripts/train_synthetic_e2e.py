@@ -29,9 +29,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--fusion", default="concat",
-                    choices=["concat", "mean", "max", "sum", "deform_attn"])
+                    choices=["concat", "mean", "max", "sum", "attn", "deform_attn"])
     ap.add_argument("--warp_impl", default=None,
                     help="override MODEL.WARP_IMPL (default: config value)")
+    ap.add_argument("--feat_dim", type=int, default=None,
+                    help="override MODEL.FEAT_DIM (per-view fusions like "
+                         "attn warp FEAT_DIM channels to BEV - use ~64, "
+                         "not the flagship 1280)")
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--frames", type=int, default=120)
     ap.add_argument("--people", type=int, default=12)
@@ -65,6 +69,8 @@ def main():
     model_kw = {"fusion": args.fusion}
     if args.warp_impl:
         model_kw["warp_impl"] = args.warp_impl
+    if args.feat_dim:
+        model_kw["feat_dim"] = args.feat_dim
     cfg = dataclasses.replace(
         cfg,
         data=dataclasses.replace(

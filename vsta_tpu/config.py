@@ -168,7 +168,7 @@ def _get(d: Dict[str, Any], key: str, default: Any) -> Any:
     return default if v is None else v
 
 
-VALID_FUSION = ("concat", "mean", "max", "sum", "deform_attn")
+VALID_FUSION = ("concat", "mean", "max", "sum", "attn", "deform_attn")
 VALID_WARP_IMPL = ("fused", "gather", "pallas")
 VALID_BACKBONES = (
     "simple",
