@@ -6,24 +6,27 @@ x 270x480 -> BEV 120x360) against the CPU reference executed directly
 from /root/reference (its own fallback code paths: conv encoder +
 grid_sample warp + Python decode), on identical Wildtrack-shaped inputs.
 
-Three measurements (VERDICT round 1, item 4):
-  1. inference fps/chip - jit forward + on-device decode, device-resident
-     inputs (the headline, comparable to round 1);
-  2. train fps/chip - full fwd+bwd+optimizer step at the flagship config;
-  3. input-included fps - synthetic Wildtrack tree on disk -> host decode
-     (C++ codec) -> Prefetcher -> device_put -> forward, cold (first
-     epoch, real PNG decode) and warm (RAM image cache) - the reference's
-     comparable number includes its DataLoader (ref train.py:139-160).
+Stages (VERDICT round 2, item 1: driver-proof ordering):
+  1. inference fps/chip (jit forward + on-device decode) - measured
+     FIRST and its headline JSON printed IMMEDIATELY, so a driver
+     timeout can never produce an empty artifact again (BENCH_r02 was
+     rc=124/parsed=null because the headline printed last);
+  2. compiled-kernel parity canary (grouped sampler + resident warp vs
+     the XLA path on tiny shapes) - every driver bench run doubles as
+     compiled-kernel validation;
+  3. train fps/chip, deformable-train fps/chip, input-included fps -
+     each gated on a wall-clock budget (VSTA_BENCH_BUDGET seconds,
+     default 900) and its JSON line printed the moment it completes.
+The combined headline (with extras) is printed again LAST so a tail
+parser still picks up the richest line when the run completes.
 
 Measurement note: on this rig the TPU is reached through a tunnel whose
 ``block_until_ready`` acks at dispatch, not at completion - so naive
 async-loop timing overstates throughput by orders of magnitude. We
 instead chain N data-dependent steps ending in a scalar fetch (a real
 device->host round trip), and take the slope between two N values to
-cancel the tunnel latency.
-
-Prints one JSON line per auxiliary metric, then the headline line LAST:
-{"metric", "value", "unit", "vs_baseline", ...extras}.
+cancel the tunnel latency. The step count is a DYNAMIC fori_loop trip
+count, so each stage compiles exactly one program.
 """
 
 import json
@@ -40,7 +43,19 @@ N_REPEAT = 3
 TRAIN_BATCH = 16  # sweep 2026-08-17: b8 102 f/s, b16 121.5, b24 107 (loses
                   # warp VMEM residency), b32 115.5 - b16 is the knee
 TRAIN_N_LO, TRAIN_N_HI = 2, 6
-PIPELINE_FRAMES = 24  # synthetic frames on disk for the input-included run
+PIPELINE_FRAMES = 12  # synthetic frames on disk for the input-included run
+
+T0 = time.monotonic()
+BUDGET = float(os.environ.get("VSTA_BENCH_BUDGET", "900"))
+
+
+def _remaining() -> float:
+    return BUDGET - (time.monotonic() - T0)
+
+
+def _emit(obj) -> None:
+    print(json.dumps(obj), flush=True)
+
 
 # bf16 peak per chip by device_kind substring (for the MFU estimate)
 _PEAK_BF16 = {
@@ -54,9 +69,7 @@ _PEAK_BF16 = {
 }
 
 
-def bench_tpu():
-    import functools
-
+def _setup_jax():
     import jax
 
     # persistent compile cache (env vars are latched before this process
@@ -71,6 +84,11 @@ def bench_tpu():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass
+    return jax
+
+
+def bench_tpu():
+    jax = _setup_jax()
     import jax.numpy as jnp
 
     from vsta_tpu.config import load_config
@@ -108,54 +126,92 @@ def bench_tpu():
             + jnp.sum(out["heatmap"])
         )
 
-    @functools.partial(jax.jit, static_argnums=(0,))
+    @jax.jit
     def run_n(n, variables, images, K, Rt):
         def body(i, acc):
             # acc folds into the input: serial dependency between steps,
             # numerically negligible (|acc*1e-30| << 1e-20).
-            s = step_scalar(variables, images + acc * 1e-30, K, Rt)
-            return s
+            return step_scalar(variables, images + acc * 1e-30, K, Rt)
+
+        # dynamic trip count: ONE compile serves every n
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
     def timed(n):
         best = float("inf")
         for _ in range(N_REPEAT):
             t0 = time.perf_counter()
-            float(run_n(n, variables, images, K, Rt))  # scalar fetch
+            float(run_n(jnp.int32(n), variables, images, K, Rt))  # scalar fetch
             best = min(best, time.perf_counter() - t0)
         return best
 
-    float(run_n(N_LO, variables, images, K, Rt))  # compile lo
-    float(run_n(N_HI, variables, images, K, Rt))  # compile hi
+    float(run_n(jnp.int32(1), variables, images, K, Rt))  # compile once
     dt = (timed(N_HI) - timed(N_LO)) / (N_HI - N_LO)
     fps = B / max(dt, 1e-9)
 
     # MFU estimate from XLA's own cost model for the forward program
+    # (separate 1-call compile; skipped when the budget is nearly spent)
     mfu_pct = None
-    try:
-        import jax
-
-        compiled = (
-            jax.jit(step_scalar).lower(variables, images, K, Rt).compile()
-        )
-        ca = compiled.cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        flops_per_call = float(ca.get("flops", 0.0))
-        kind = jax.devices()[0].device_kind.lower()
-        peak = next((v for k, v in _PEAK_BF16.items() if k in kind), 197e12)
-        if flops_per_call > 0:
-            mfu_pct = 100.0 * (flops_per_call / B) * fps / peak
-    except Exception as e:  # cost model availability varies by backend
-        print(f"[bench] MFU estimate unavailable: {e}", file=sys.stderr)
+    if _remaining() > 90:
+        try:
+            compiled = (
+                jax.jit(step_scalar).lower(variables, images, K, Rt).compile()
+            )
+            ca = compiled.cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops_per_call = float(ca.get("flops", 0.0))
+            kind = jax.devices()[0].device_kind.lower()
+            peak = next((v for k, v in _PEAK_BF16.items() if k in kind), 197e12)
+            if flops_per_call > 0:
+                mfu_pct = 100.0 * (flops_per_call / B) * fps / peak
+        except Exception as e:  # cost model availability varies by backend
+            print(f"[bench] MFU estimate unavailable: {e}", file=sys.stderr)
     return fps, mfu_pct
+
+
+def bench_kernel_canary():
+    """Tiny compiled-TPU parity check: grouped Pallas sampler + resident
+    warp kernel vs the XLA gather path (VERDICT round 2, item 9). Returns
+    (ok, max_err) or None off-TPU."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":
+        return None
+    from vsta_tpu.ops.warp import _flat_taps
+    from vsta_tpu.ops.warp_pallas import sample_tiles_grouped, warp_tiles_resident
+
+    rng = np.random.default_rng(7)
+    V, P, K, N = 2, 64, 256, 96
+    feats = jnp.asarray(rng.standard_normal((V, P, K)), jnp.float32)
+    anchors = np.stack(
+        [rng.integers(0, 6, (V, N)), rng.integers(0, 7, (V, N))], axis=-1
+    ).astype(np.int32)  # (ya, xa) into an 8-wide padded row-major map
+    idx4 = _flat_taps(jnp.asarray(anchors), 8)
+    wts = jnp.asarray(rng.random((V, N, 4)), jnp.float32)
+
+    ref = jnp.einsum(
+        "vnk,vnkc->vnc",
+        wts,
+        jnp.take_along_axis(feats[:, :, None, :], idx4[..., None], axis=1).reshape(
+            V, N, 4, K
+        ),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    got_g = sample_tiles_grouped(feats, idx4, wts, compute_dtype=jnp.float32)
+    err_g = float(jnp.max(jnp.abs(got_g - ref)))  # per-group [V, N, K]
+
+    got_r = warp_tiles_resident(feats, idx4, wts, compute_dtype=jnp.float32)
+    err_r = float(
+        jnp.max(jnp.abs(got_r.astype(jnp.float32) - jnp.sum(ref, axis=0)))
+    )  # resident kernel returns the view-sum [N, K]
+    max_err = max(err_g, err_r)
+    return max_err < 1e-3, max_err
 
 
 def bench_train_tpu(config="configs/wildtrack.yaml", batch=None):
     """Full training-step rate (fwd+bwd+optimizer) at flagship shapes."""
-    import functools
-
-    import jax
+    jax = _setup_jax()
     import jax.numpy as jnp
 
     from vsta_tpu.config import load_config
@@ -184,25 +240,25 @@ def bench_train_tpu(config="configs/wildtrack.yaml", batch=None):
     state = create_state(cfg, tx, jax.random.PRNGKey(0))
     step = make_train_step(cfg)
 
-    @functools.partial(jax.jit, static_argnums=(0,))
+    @jax.jit
     def run_n(n, state, batch):
-        def body(carry, _):
-            new_state, m = step(carry, batch)
-            return new_state, m["total_loss"]
+        def body(i, carry):
+            st, _ = carry
+            st2, m = step(st, batch)
+            return (st2, m["total_loss"])
 
-        state, losses = jax.lax.scan(body, state, None, length=n)
-        return losses[-1]
+        _, loss = jax.lax.fori_loop(0, n, body, (state, jnp.float32(0.0)))
+        return loss
 
     def timed(n):
         best = float("inf")
         for _ in range(N_REPEAT):
             t0 = time.perf_counter()
-            float(run_n(n, state, batch))
+            float(run_n(jnp.int32(n), state, batch))
             best = min(best, time.perf_counter() - t0)
         return best
 
-    float(run_n(TRAIN_N_LO, state, batch))  # compile
-    float(run_n(TRAIN_N_HI, state, batch))
+    float(run_n(jnp.int32(1), state, batch))  # compile once
     dt = (timed(TRAIN_N_HI) - timed(TRAIN_N_LO)) / (TRAIN_N_HI - TRAIN_N_LO)
     return B / max(dt, 1e-9)
 
@@ -218,16 +274,17 @@ def bench_pipeline_tpu():
     import tempfile
     from pathlib import Path
 
-    import jax
+    jax = _setup_jax()
     import jax.numpy as jnp
 
     from vsta_tpu.config import load_config
     from vsta_tpu.data.pipeline import Prefetcher
     from vsta_tpu.data.synthetic import generate_synthetic_wildtrack
     from vsta_tpu.data.wildtrack import WildtrackDataset
+
     from vsta_tpu.models import BEVNet
 
-    root = Path(tempfile.gettempdir()) / "vsta_bench_wildtrack"
+    root = Path(tempfile.gettempdir()) / f"vsta_bench_wildtrack_{PIPELINE_FRAMES}"
     marker = root / ".complete"
     if not marker.exists():
         generate_synthetic_wildtrack(
@@ -240,7 +297,7 @@ def bench_pipeline_tpu():
 
     cfg = load_config("configs/wildtrack.yaml")
     cfg = dataclasses.replace(
-        cfg, data=dataclasses.replace(cfg.data, data_root=str(root), batch_size=8)
+        cfg, data=dataclasses.replace(cfg.data, data_root=str(root), batch_size=4)
     )
     ds = WildtrackDataset(cfg, train=False)
     model = BEVNet.from_config(cfg)
@@ -335,78 +392,98 @@ def bench_reference_cpu(n_iters=3):
 RECORDED_REFERENCE_FPS = 0.175
 
 
-def _retry(fn, label, attempts=3):
+def _retry(fn, label, attempts=3, sleep_s=5):
     # the TPU tunnel occasionally drops a compile (HTTP 500); retry
     for attempt in range(attempts):
         try:
             return fn()
         except Exception as e:
             print(f"[bench] {label} attempt {attempt} failed: {e}", file=sys.stderr)
-            time.sleep(20)
+            if _remaining() < 60:
+                break
+            time.sleep(sleep_s)
     return None
 
 
 def main():
     res = _retry(bench_tpu, "inference")
     if res is None:
-        print(json.dumps({"metric": "wildtrack_e2e_frames_per_sec", "value": 0.0,
-                          "unit": "frames/s/chip", "vs_baseline": 0.0}))
+        _emit({"metric": "wildtrack_e2e_frames_per_sec", "value": 0.0,
+               "unit": "frames/s/chip", "vs_baseline": 0.0})
         return
     tpu_fps, mfu_pct = res
+    ref_fps = RECORDED_REFERENCE_FPS
 
-    train_fps = _retry(bench_train_tpu, "train-step") if not os.environ.get(
-        "VSTA_BENCH_FAST"
-    ) else None
-    deform_fps = _retry(
-        lambda: bench_train_tpu("configs/wildtrack_deform.yaml", batch=8),
-        "deform-train-step",
-    ) if not os.environ.get("VSTA_BENCH_FAST") else None
-    pipe = _retry(bench_pipeline_tpu, "input-pipeline") if not os.environ.get(
-        "VSTA_BENCH_FAST"
-    ) else None
-
-    ref_fps = bench_reference_cpu()
-    ref_fps = max(ref_fps or 0.0, RECORDED_REFERENCE_FPS)
+    # headline FIRST: a later timeout can no longer lose the artifact
+    _emit({
+        "metric": "wildtrack_e2e_frames_per_sec",
+        "value": round(tpu_fps, 3), "unit": "frames/s/chip",
+        "vs_baseline": round(tpu_fps / ref_fps, 2),
+    })
 
     extras = {}
-    if train_fps is not None:
-        extras["train_fps"] = round(train_fps, 3)
-        print(json.dumps({
-            "metric": "wildtrack_train_frames_per_sec",
-            "value": round(train_fps, 3), "unit": "frames/s/chip",
-            "vs_baseline": round(train_fps / max(1e-9, ref_fps), 2),
-        }))
-    if deform_fps is not None:
-        extras["deform_train_fps"] = round(deform_fps, 3)
-        print(json.dumps({
-            "metric": "wildtrack_deform_train_frames_per_sec",
-            "value": round(deform_fps, 3), "unit": "frames/s/chip",
-            "vs_baseline": round(deform_fps / max(1e-9, ref_fps), 2),
-        }))
-    if pipe is not None:
-        fps_cold, fps_warm = pipe
-        extras["pipeline_fps_cold"] = round(fps_cold, 3)
-        extras["pipeline_fps_warm"] = round(fps_warm, 3)
-        print(json.dumps({
-            "metric": "wildtrack_input_included_frames_per_sec",
-            "value": round(fps_warm, 3), "unit": "frames/s/chip",
-            "vs_baseline": round(fps_warm / max(1e-9, ref_fps), 2),
-            "cold_fps": round(fps_cold, 3),
-        }))
     if mfu_pct is not None:
         extras["mfu_pct"] = round(mfu_pct, 2)
 
-    print(
-        json.dumps(
-            {
-                "metric": "wildtrack_e2e_frames_per_sec",
-                "value": round(tpu_fps, 3),
-                "unit": "frames/s/chip",
-                "vs_baseline": round(tpu_fps / max(1e-9, ref_fps), 2),
-                **extras,
-            }
+    fast = bool(os.environ.get("VSTA_BENCH_FAST"))
+
+    if not fast and _remaining() > 60:
+        canary = _retry(bench_kernel_canary, "kernel-canary", attempts=1)
+        if canary is not None:
+            ok, max_err = canary
+            extras["kernel_parity_ok"] = bool(ok)
+            _emit({"metric": "kernel_parity", "ok": bool(ok),
+                   "max_err": float(max_err)})
+
+    if not fast and _remaining() > 240:
+        train_fps = _retry(bench_train_tpu, "train-step", attempts=2)
+        if train_fps is not None:
+            extras["train_fps"] = round(train_fps, 3)
+            _emit({
+                "metric": "wildtrack_train_frames_per_sec",
+                "value": round(train_fps, 3), "unit": "frames/s/chip",
+                "vs_baseline": round(train_fps / ref_fps, 2),
+            })
+
+    if not fast and _remaining() > 240:
+        deform_fps = _retry(
+            lambda: bench_train_tpu("configs/wildtrack_deform.yaml", batch=8),
+            "deform-train-step", attempts=2,
         )
-    )
+        if deform_fps is not None:
+            extras["deform_train_fps"] = round(deform_fps, 3)
+            _emit({
+                "metric": "wildtrack_deform_train_frames_per_sec",
+                "value": round(deform_fps, 3), "unit": "frames/s/chip",
+                "vs_baseline": round(deform_fps / ref_fps, 2),
+            })
+
+    if not fast and _remaining() > 300:
+        pipe = _retry(bench_pipeline_tpu, "input-pipeline", attempts=1)
+        if pipe is not None:
+            fps_cold, fps_warm = pipe
+            extras["pipeline_fps_cold"] = round(fps_cold, 3)
+            extras["pipeline_fps_warm"] = round(fps_warm, 3)
+            _emit({
+                "metric": "wildtrack_input_included_frames_per_sec",
+                "value": round(fps_warm, 3), "unit": "frames/s/chip",
+                "vs_baseline": round(fps_warm / ref_fps, 2),
+                "cold_fps": round(fps_cold, 3),
+            })
+
+    if _remaining() > 45:
+        live = bench_reference_cpu()
+        ref_fps = max(live or 0.0, RECORDED_REFERENCE_FPS)
+
+    # final combined headline (duplicate of the first line + extras): the
+    # tail parser picks up whichever printed last
+    _emit({
+        "metric": "wildtrack_e2e_frames_per_sec",
+        "value": round(tpu_fps, 3),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(tpu_fps / max(1e-9, ref_fps), 2),
+        **extras,
+    })
 
 
 if __name__ == "__main__":

@@ -42,7 +42,12 @@ def main():
     idx_train, idx_val = split_train_val(len(ds), cfg.train.seed)
     indices = {"val": idx_val, "train": idx_train, "all": list(range(len(ds)))}[args.split]
 
-    mesh = make_mesh(cfg.runtime.mesh_data, cfg.runtime.mesh_view)
+    mesh = make_mesh(
+        cfg.runtime.mesh_data,
+        cfg.runtime.mesh_view,
+        batch_size=cfg.data.batch_size,
+        views=cfg.data.views,
+    )
     dl = Prefetcher(
         ds,
         indices,

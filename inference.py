@@ -41,7 +41,12 @@ def main():
 
     select_platform(cfg.runtime.device)
     ds = WildtrackDataset(cfg, train=False)
-    mesh = make_mesh(cfg.runtime.mesh_data, cfg.runtime.mesh_view)
+    mesh = make_mesh(
+        cfg.runtime.mesh_data,
+        cfg.runtime.mesh_view,
+        batch_size=cfg.data.batch_size,
+        views=cfg.data.views,
+    )
     dl = Prefetcher(
         ds,
         range(len(ds)),

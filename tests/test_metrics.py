@@ -63,3 +63,12 @@ def test_update_batch_uses_masks():
     m.update_batch(boxes, scores, valid, gt, counts, mask)
     s = m.summary()
     assert s["tp"] == 1 and s["fp"] == 0 and s["fn"] == 0
+
+
+def test_summary_zero_frames_is_flagged_nan():
+    """An accumulator that never saw a frame reports NaN + n_frames=0,
+    not a perfect score (VERDICT round 2, weak #5)."""
+    m = DetectionMetrics(match_dist=0.5)
+    s = m.summary()
+    assert s["n_frames"] == 0.0
+    assert np.isnan(s["f1"]) and np.isnan(s["moda"])

@@ -78,7 +78,12 @@ def run_training(
         f"[data] {len(train_ds)} frames -> {len(idx_train)} train / {len(idx_val)} val"
     )
 
-    mesh = make_mesh(cfg.runtime.mesh_data, cfg.runtime.mesh_view)
+    mesh = make_mesh(
+        cfg.runtime.mesh_data,
+        cfg.runtime.mesh_view,
+        batch_size=cfg.data.batch_size,
+        views=cfg.data.views,
+    )
     print(f"[mesh] {dict(zip(mesh.axis_names, mesh.devices.shape))} on {mesh.devices.size} device(s)")
     if cfg.model.warp_impl == "pallas" and mesh.devices.size > 1:
         # the windowed Pallas warp is a single-chip kernel; on a
@@ -239,8 +244,18 @@ def run_training(
                 if debug_max > 0 and val_steps >= debug_max:
                     break
             summary = acc.summary()
-            val_f1_curve.append(summary["f1"])
-            final_metrics = summary
+            if summary.get("n_frames", 0) == 0:
+                # empty val split / fully masked batches: no frame was
+                # scored, so there is no metric to report and certainly no
+                # "best" checkpoint to save (VERDICT round 2, weak #5)
+                print(
+                    "[warn] eval scored 0 frames (empty val split?); "
+                    "skipping metrics and best-checkpoint selection"
+                )
+                summary = {}
+            else:
+                val_f1_curve.append(summary["f1"])
+                final_metrics = summary
 
         stamp = datetime.now().strftime("%Y-%m-%d %H:%M:%S")
         phase = "eval" if do_eval else "train"

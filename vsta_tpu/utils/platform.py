@@ -24,5 +24,16 @@ def select_platform(device: str) -> None:
 
     try:
         jax.config.update("jax_platforms", "cpu")
-    except Exception:
-        pass  # backend already initialized; leave the ambient platform
+    except Exception as e:
+        # backend already initialized; the run continues on the ambient
+        # platform - if that is not cpu, the user asked for something
+        # they are not getting: say so out loud (ADVICE round 2)
+        if jax.default_backend() != "cpu":
+            import warnings
+
+            warnings.warn(
+                f"RUNTIME.DEVICE=cpu could not be applied ({e}); "
+                f"continuing on the ambient '{jax.default_backend()}' "
+                "platform",
+                stacklevel=2,
+            )
