@@ -125,9 +125,12 @@ def warp_tiles_resident(
 ) -> jax.Array:
     """sum_v bilinear-warp(feats[v]): VMEM-resident variant.
 
-    Same contract as :func:`warp_tiles_windowed` (feats [V, P, K], idx/wts
-    [V, N, 4] -> [N, K], f32-accumulated, stored in compute dtype), but
-    the whole feature block is pinned in
+    Same SHAPE contract as :func:`warp_tiles_windowed` (feats [V, P, K],
+    idx/wts [V, N, 4] -> [N, K], f32-accumulated) but a different output
+    dtype: this kernel stores ``compute_dtype`` (bf16 under AMP) while
+    the windowed kernel returns float32 - callers casting afterwards
+    must not assume the two are interchangeable (ADVICE round 2). The
+    whole feature block is pinned in
     VMEM for the kernel's lifetime, so the per-(tile, view) work items
     read their span directly instead of re-DMAing 512-row windows from
     HBM per tile. At flagship shapes (V=7, P=2040, K=B*128) that removes
@@ -300,7 +303,8 @@ def warp_tiles_windowed(
     idx:       [V, N, 4] int32 flat taps; wts [V, N, 4] f32 (0 = masked).
     compute_dtype: matmul input dtype; bf16 under AMP, f32 otherwise
     (accumulation is always f32).
-    Returns [N, K] float32.
+    Returns [N, K] float32 (unlike :func:`warp_tiles_resident`, which
+    returns ``compute_dtype`` - see its docstring).
     """
     V, P, K = feats_vpk.shape
     N = idx.shape[1]
@@ -644,7 +648,9 @@ def scatter_taps_windowed(
         # overhead reason as the grouped sampler (see _grouped_tile)
         tile = _grouped_tile(V, N)
         T = _round_up(N, tile) // tile
-    N_pad = tile * T if T > 1 else N_pad_g
+    # unconditional: keeps block shape <= padded array when T == 1 with
+    # tile > N_pad_g (ADVICE round 2)
+    N_pad = tile * T
 
     g = g.astype(jnp.float32)
     if K_pad != K:
@@ -871,7 +877,10 @@ def sample_tiles_grouped(
     else:
         tile = _grouped_tile(G, N)
         T = _round_up(N, tile) // tile
-    N_pad = tile * T if T > 1 else N_pad_g
+    # block shape and array padding must always agree: when _grouped_tile
+    # grows tile past N (T == 1), N_pad_g < tile would make the BlockSpec
+    # exceed the padded array (ADVICE round 2)
+    N_pad = tile * T
 
     maps = maps.astype(compute_dtype)
     maps = jnp.pad(maps, ((0, 0), (0, P_res - P), (0, K_pad - K)))
@@ -1018,7 +1027,8 @@ def taps_dot_grouped(
         tile = _grouped_tile(G, N)
         T = _round_up(N, tile) // tile
         TT = T
-    N_pad = tile * T if T > 1 else N_pad_g
+    # unconditional (ADVICE round 2): block shape must not exceed padding
+    N_pad = tile * T
 
     maps = maps.astype(compute_dtype)
     maps = jnp.pad(maps, ((0, 0), (0, P_res - P), (0, K_pad - K)))
