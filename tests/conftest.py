@@ -43,6 +43,16 @@ def rng():
     return np.random.default_rng(0)
 
 
+@pytest.fixture(autouse=True)
+def _clear_active_mesh():
+    """make_mesh registers itself as the active mesh (model code consults
+    it for shard_map dispatch); never let that leak across tests."""
+    yield
+    from vsta_tpu.parallel.mesh import set_active_mesh
+
+    set_active_mesh(None)
+
+
 def make_camera(
     view: int,
     n_views: int = 7,

@@ -131,3 +131,34 @@ def test_make_mesh_clamps_to_batch_and_views():
     assert mesh.devices.shape == (4, 1)
     mesh = make_mesh(4, 2, batch_size=8, views=4)  # divisible: untouched
     assert mesh.devices.shape == (4, 2)
+
+
+def test_pallas_warp_shard_map_matches_single_device():
+    """WARP_IMPL=pallas must survive multi-device meshes: BEVNet wraps the
+    kernel in shard_map over the active mesh (VERDICT round 2, item 4).
+    Interpret mode stands in for the TPU lowering on this CPU mesh; the
+    losses must match the single-device run on 4x1 (data) and 2x2
+    (data x view) meshes."""
+    import dataclasses
+
+    import vsta_tpu.models.bevnet as bevnet_mod
+    from vsta_tpu.config import Config, DataConfig
+
+    cfg = tiny_cfg()
+    cfg = Config(
+        data=DataConfig(batch_size=4, img_size=(48, 64), views=4, data_root=""),
+        model=dataclasses.replace(cfg.model, warp_impl="pallas"),
+        train=cfg.train,
+        loss=cfg.loss,
+        runtime=cfg.runtime,
+    )
+    old = bevnet_mod.FORCE_PALLAS_INTERPRET
+    bevnet_mod.FORCE_PALLAS_INTERPRET = True
+    try:
+        losses_1, _ = _run_steps(cfg, make_mesh(1, 1))
+        losses_dp, _ = _run_steps(cfg, make_mesh(4, 1))
+        losses_dpvp, _ = _run_steps(cfg, make_mesh(2, 2))
+    finally:
+        bevnet_mod.FORCE_PALLAS_INTERPRET = old
+    np.testing.assert_allclose(losses_1, losses_dp, rtol=2e-4)
+    np.testing.assert_allclose(losses_1, losses_dpvp, rtol=2e-4)

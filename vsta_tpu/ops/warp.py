@@ -274,17 +274,32 @@ def _gather_taps(feats_vpbc, anchors, feat_hw):
 FORCE_GROUPED_INTERPRET = False
 
 
+def spmd_local_ok() -> bool:
+    """True when a Pallas call traced here runs per-device: either the
+    program is single-device, or we are inside a shard_map body (mesh
+    axis names are bound - every shard runs its own local kernel). Pallas
+    custom calls carry no SPMD partitioning rule, so OUTSIDE shard_map a
+    >1-device mesh must take the XLA paths; INSIDE one they are safe
+    (vsta_tpu.parallel.warp_shard gives the flagship warp that home)."""
+    if jax.device_count() == 1:
+        return True
+    for axis in ("data", "view"):
+        try:
+            jax.lax.axis_index(axis)  # raises when the axis is unbound
+            return True
+        except Exception:
+            continue
+    return False
+
+
 def _grouped_dispatch(feats_vpbc):
     """(use_pallas, interpret) for the grouped sampler: TPU backend (or
-    forced interpret mode), single device, and one group's map fits the
-    VMEM budget."""
+    forced interpret mode), per-device-local tracing context, and one
+    group's map fits the VMEM budget."""
     if not FORCE_GROUPED_INTERPRET:
         if jax.default_backend() != "tpu":
             return False, False
-        # the fused/XLA warp is the multi-chip-safe path (configs/
-        # wildtrack.yaml comment): Pallas custom calls carry no SPMD
-        # partitioning rule, so under a >1-device mesh stay on XLA
-        if jax.device_count() > 1:
+        if not spmd_local_ok():
             return False, False
     from .warp_pallas import GROUPED_BUDGET_BYTES, GRWIN
 
@@ -327,7 +342,7 @@ def _warp_pairs_shared_bwd(feat_hw, res, g):
     fdtype = g.dtype
     Wp = feat_hw[1] + 1
     idx4 = _flat_taps(anchors, Wp)
-    if jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu" and spmd_local_ok():
         from .warp_pallas import scatter_taps_windowed
 
         # g's dtype IS the compute dtype (feats were cast before the warp):

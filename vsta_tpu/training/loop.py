@@ -85,16 +85,9 @@ def run_training(
         views=cfg.data.views,
     )
     print(f"[mesh] {dict(zip(mesh.axis_names, mesh.devices.shape))} on {mesh.devices.size} device(s)")
-    if cfg.model.warp_impl == "pallas" and mesh.devices.size > 1:
-        # the windowed Pallas warp is a single-chip kernel; on a
-        # multi-device mesh the XLA fused path shards cleanly instead
-        import dataclasses as _dc
-
-        print(
-            "[warn] MODEL.WARP_IMPL=pallas is single-chip; using 'fused' "
-            f"on this {mesh.devices.size}-device mesh"
-        )
-        cfg = _dc.replace(cfg, model=_dc.replace(cfg.model, warp_impl="fused"))
+    # WARP_IMPL=pallas survives multi-device meshes: BEVNet shard_maps the
+    # kernel over the active mesh (parallel/warp_shard.py), so the round-2
+    # silent pallas->fused rewrite is gone.
 
     dl_train = Prefetcher(
         train_ds,
