@@ -28,6 +28,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="configs/wildtrack.yaml",
+                    help="base config (e.g. configs/wildtrack_v1_resnet50.yaml "
+                         "to drive the BASELINE.json-named Phase-1 family)")
     ap.add_argument("--fusion", default="concat",
                     choices=["concat", "mean", "max", "sum", "attn", "deform_attn"])
     ap.add_argument("--warp_impl", default=None,
@@ -45,6 +48,12 @@ def main():
                     help="reuse an existing synthetic tree instead of generating")
     ap.add_argument("--img_hw", default="540x960",
                     help="source image size HxW (decoded+resized to the config size)")
+    ap.add_argument("--track", action="store_true",
+                    help="hold out the LAST 20%% of frames as a contiguous "
+                         "sequence, run SORT over the trained model's "
+                         "detections on it in frame order, and score "
+                         "MOTA/MOTP/IDF1 against the generator's personID "
+                         "ground truth (reference Phase-3 criterion)")
     args = ap.parse_args()
 
     from vsta_tpu.config import load_config
@@ -65,7 +74,7 @@ def main():
             )
             marker.touch()
 
-    cfg = load_config("configs/wildtrack.yaml")
+    cfg = load_config(args.config)
     model_kw = {"fusion": args.fusion}
     if args.warp_impl:
         model_kw["warp_impl"] = args.warp_impl
@@ -84,16 +93,95 @@ def main():
     work = Path(args.work_dir or (root.parent / f"vsta_e2e_run_{args.fusion}"))
     work.mkdir(parents=True, exist_ok=True)
     print(f"[e2e] training fusion={args.fusion} epochs={args.epochs} -> {work}")
-    metrics = run_training(cfg, work_dir=str(work))
+
+    train_idx = val_idx = None
+    if args.track:
+        # tracking needs a temporally CONTIGUOUS held-out sequence, not
+        # the random 80/20 scatter: train on the first 80% of frames,
+        # track + score the last 20%
+        n_val = max(2, int(args.frames * 0.2))
+        train_idx = list(range(0, args.frames - n_val))
+        val_idx = list(range(args.frames - n_val, args.frames))
+
+    metrics = run_training(
+        cfg, work_dir=str(work), train_indices=train_idx, val_indices=val_idx
+    )
     summary = {
+        "config": args.config,
+        "backbone": cfg.model.backbone,
         "fusion": args.fusion,
         "warp_impl": cfg.model.warp_impl,
         "epochs": args.epochs,
         "frames": args.frames,
         **{k: round(float(v), 4) for k, v in metrics.items()},
     }
+    if args.track:
+        mot = run_tracking_eval(cfg, work, val_idx)
+        summary.update({f"track_{k}": round(float(v), 4) for k, v in mot.items()})
+        with open(work / cfg.runtime.save_dir / "metrics.jsonl", "a") as f:
+            f.write(json.dumps({"tracking": mot, "val_frames": len(val_idx)}) + "\n")
     print("[e2e-result] " + json.dumps(summary))
     return summary
+
+
+def run_tracking_eval(cfg, work: Path, val_idx):
+    """SORT over the trained model's detections on the held-out sequence,
+    scored with CLEAR-MOT/IDF1 against the dataset's person identities."""
+    import jax
+    import numpy as np
+
+    from vsta_tpu.data.pipeline import Prefetcher
+    from vsta_tpu.data.wildtrack import WildtrackDataset
+    from vsta_tpu.parallel.mesh import make_mesh, shard_batch
+    from vsta_tpu.tracking import SortTracker
+    from vsta_tpu.tracking.metrics import MotAccumulator
+    from vsta_tpu.training.checkpoint import CheckpointManager
+    from vsta_tpu.training.optim import build_optimizer
+    from vsta_tpu.training.state import create_state, make_eval_step
+
+    ds = WildtrackDataset(cfg, train=False)
+    mesh = make_mesh(
+        cfg.runtime.mesh_data, cfg.runtime.mesh_view,
+        batch_size=cfg.data.batch_size, views=cfg.data.views,
+    )
+    state = create_state(cfg, build_optimizer(cfg, 1), jax.random.PRNGKey(0))
+    ckpt = CheckpointManager(str(work / cfg.runtime.save_dir))
+    name = "best" if ckpt.exists("best") else "last"
+    state, epoch, f1 = ckpt.restore(name, state)
+    print(f"[track] evaluating checkpoint '{name}' (epoch {epoch}) on "
+          f"{len(val_idx)} held-out frames")
+
+    eval_step = jax.jit(make_eval_step(cfg))
+    tracker = SortTracker(
+        max_age=cfg.track.max_age,
+        min_hits=cfg.track.min_hits,
+        match_dist_m=cfg.track.match_dist_m,
+    )
+    acc = MotAccumulator(match_dist=cfg.track.match_dist_m)
+    dl = Prefetcher(
+        ds, val_idx, cfg.data.batch_size, shuffle=False,
+        num_workers=cfg.runtime.num_workers,
+        device_put=lambda b: shard_batch(b, mesh),
+    )
+    for batch in dl:
+        out = eval_step(state, batch)
+        boxes = np.asarray(out["boxes"])
+        scores = np.asarray(out["scores"])
+        valid = np.asarray(out["valid"])
+        fidx = np.asarray(batch["frame_idx"])
+        mask = np.asarray(batch["batch_mask"])
+        for b in range(boxes.shape[0]):
+            if not mask[b]:
+                continue
+            keep = valid[b]
+            trks = tracker.update(boxes[b][keep, :2], scores[b][keep])
+            h_ids = [int(t["id"]) for t in trks]
+            h_xy = np.array([t["xy"] for t in trks], np.float64).reshape(-1, 2)
+            i = int(fidx[b])
+            acc.update(ds.ids_per_frame[i], ds.centers_per_frame[i], h_ids, h_xy)
+    mot = acc.summary()
+    print("[track-result] " + json.dumps({k: round(float(v), 4) for k, v in mot.items()}))
+    return mot
 
 
 if __name__ == "__main__":

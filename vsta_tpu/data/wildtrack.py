@@ -113,9 +113,16 @@ class WildtrackDataset:
             None,
         )
         self.annotations_dir = ann_dir
-        self.centers_per_frame: List[np.ndarray] = [
-            self._parse_frame_annotations(f) for f in self.frame_files
-        ]
+        # per-frame world centers [N, 2] and their person identities
+        # [N] int32 (Wildtrack personID when present, else the person's
+        # index within the frame) - the identities feed MOT scoring of
+        # tracked output (reference Phase-3 criterion, README.md:65-71)
+        self.centers_per_frame: List[np.ndarray] = []
+        self.ids_per_frame: List[np.ndarray] = []
+        for f in self.frame_files:
+            centers, ids = self._parse_frame_annotations(f)
+            self.centers_per_frame.append(centers)
+            self.ids_per_frame.append(ids)
 
         # Jitter RNG is derived PER __getitem__ CALL from
         # (seed, epoch, frame): __getitem__ runs concurrently on the
@@ -153,9 +160,13 @@ class WildtrackDataset:
     def __len__(self) -> int:
         return len(self.frame_files)
 
-    def _parse_frame_annotations(self, fname: str) -> np.ndarray:
-        """World-coordinate pedestrian centers [N, 2] for one frame."""
+    def _parse_frame_annotations(
+        self, fname: str
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """World-coordinate pedestrian centers [N, 2] + identities [N]
+        for one frame."""
         centers: List[List[float]] = []
+        ids: List[int] = []
         if self.annotations_dir is not None:
             jp = self.annotations_dir / (Path(fname).stem + ".json")
             if jp.exists():
@@ -163,15 +174,18 @@ class WildtrackDataset:
                     with open(jp, "r") as f:
                         data = json.load(f)
                     if isinstance(data, dict) and "annotations" in data:
-                        for ann in data["annotations"]:
+                        for i, ann in enumerate(data["annotations"]):
                             wp = ann.get("world_pos")
                             if wp and len(wp) >= 2:
                                 centers.append([float(wp[0]), float(wp[1])])
+                                ids.append(int(ann.get("personID", i)))
                     elif isinstance(data, list):
-                        for person in data:
+                        for i, person in enumerate(data):
+                            pid = int(person.get("personID", i))
                             if self.cfg.data.use_position_id and "positionID" in person:
                                 x, y = position_id_to_world(int(person["positionID"]))
                                 centers.append([x, y])
+                                ids.append(pid)
                                 continue
                             pts = []
                             for view in person.get("views", []):
@@ -198,10 +212,12 @@ class WildtrackDataset:
                                         sum(p[1] for p in pts) / len(pts),
                                     ]
                                 )
+                                ids.append(pid)
                 except Exception as e:  # tolerant like the reference
                     print(f"[WildtrackDataset] failed to parse {jp}: {e}")
         return (
-            np.asarray(centers, np.float32) if centers else np.zeros((0, 2), np.float32)
+            np.asarray(centers, np.float32) if centers else np.zeros((0, 2), np.float32),
+            np.asarray(ids, np.int32) if ids else np.zeros((0,), np.int32),
         )
 
     def targets_for(self, idx: int) -> Tuple[np.ndarray, int]:
