@@ -227,6 +227,46 @@ def profile_train(args):
     timed_grad("warp+proj fwd+bwd", warp_grad_fn, (0, 1), feats, kern)
     timed_grad("head fwd+bwd", head_grad_fn, 0, head_vars, bev_feat)
 
+    # ---- residual breakdown: the pieces outside encoder/warp/head
+    Hb_, Wb_ = m.bev_size
+    preds = {
+        "heatmap_logits": jnp.asarray(
+            rngk.standard_normal((B, Hb_, Wb_, 1)), jnp.float32),
+        "offset": jnp.asarray(
+            rngk.random((B, Hb_, Wb_, 2)), jnp.float32),
+        "size_raw": jnp.asarray(
+            rngk.standard_normal((B, Hb_, Wb_, 2)), jnp.float32),
+    }
+
+    def tgt_loss_fn(p, eps):
+        targets = build_targets(
+            batch["boxes_world"], batch["num_boxes"], bounds=m.bev_bounds,
+            bev_hw=m.bev_size, min_overlap=l.gaussian_iou,
+            min_radius=l.gaussian_min_radius,
+        )
+        pp = {k: v + eps for k, v in p.items()}
+        losses = detection_loss(
+            pp, targets, hm_alpha=l.hm_alpha, hm_beta=l.hm_beta,
+            hm_weight=l.hm_weight, offset_weight=l.offset_weight,
+            size_weight=l.size_weight,
+        )
+        return losses["total_loss"]
+
+    timed_grad("targets+loss fwd+bwd", tgt_loss_fn, 0, preds)
+
+    grads0 = jax.jit(jax.grad(fwd_loss))(state.params, batch, jnp.float32(0.0))
+
+    @ft.partial(jax.jit, static_argnums=(0,))
+    def run_opt(n, state, grads):
+        def body(carry, _):
+            ns = carry.apply_gradients(grads, carry.batch_stats)
+            return ns, ns.step
+        state2, _ = jax.lax.scan(body, state, None, length=n)
+        return state2.step
+
+    dt = slope_time(run_opt, state, grads0)
+    print(f"{'optimizer update only':26s} {dt*1e3:8.2f} ms  {B/dt:8.1f} f/s")
+
 
 def main():
     ap = argparse.ArgumentParser()
