@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""Streaming serving CLI: drive a StableHLO artifact over a frame sequence.
+
+Completes the deployment story that `export.py` starts (and that the
+reference lacks entirely - its only inference path re-runs the eager
+torch model from a checkpoint, reference: project/inference.py:17-48):
+
+  * loads the exported artifact - NO model code, config file, or
+    checkpoint needed beyond the artifact + its JSON manifest (the
+    manifest embeds the config the model was exported with);
+  * streams frames in dataset order at the artifact's frozen batch size
+    (static shapes -> deterministic latency);
+  * optional online SORT tracking (`--track`), same "tracks" JSON field
+    as `inference.py`;
+  * reports end-to-end serving latency (mean/p50/p95 per batch and per
+    frame) measured host-side around the fetch of the decoded
+    detections - the number a deployment actually observes.
+
+Usage:
+  python export.py --config configs/wildtrack.yaml \
+      --checkpoint checkpoints/best --out model.stablehlo --batch 1
+  python serve.py --artifact model.stablehlo --source data/Wildtrack \
+      --track --out outputs/
+"""
+
+import argparse
+import json
+import re
+import time
+from pathlib import Path
+
+
+def _batch_from_manifest(manifest: dict, default: int) -> int:
+    """The artifact's frozen batch size, from its first input aval
+    (e.g. "uint8[1,7,270,480,3]")."""
+    avals = manifest.get("in_avals") or []
+    m = re.search(r"\[(\d+)", avals[0]) if avals else None
+    return int(m.group(1)) if m else default
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--artifact", type=str, required=True,
+                    help="StableHLO artifact from export.py (its .json "
+                         "manifest must sit next to it)")
+    ap.add_argument("--config", type=str, default=None,
+                    help="config override; default: the manifest's "
+                         "embedded config")
+    ap.add_argument("--source", type=str, default=None,
+                    help="override DATA.DATA_ROOT (the frame tree to stream)")
+    ap.add_argument("--out", type=str, default=None,
+                    help="override RUNTIME.OUTPUT_DIR for prediction JSON")
+    ap.add_argument("--track", action="store_true", default=False)
+    ap.add_argument("--limit", type=int, default=0,
+                    help="serve only the first N frames (0 = all)")
+    ap.add_argument("--warmup", type=int, default=1,
+                    help="untimed warmup batches (first call compiles "
+                         "the artifact's call wrapper)")
+    args = ap.parse_args()
+
+    manifest_path = Path(args.artifact + ".json")
+    if not manifest_path.exists():
+        raise FileNotFoundError(
+            f"manifest {manifest_path} not found - export with export.py "
+            "(save_exported writes it next to the artifact)")
+    manifest = json.loads(manifest_path.read_text())
+
+    import dataclasses
+
+    from vsta_tpu.config import from_dict, load_config
+
+    if args.config:
+        cfg = load_config(args.config)
+    elif "config" in manifest:
+        cfg = from_dict(manifest["config"])
+    else:
+        raise SystemExit("manifest has no embedded config; pass --config")
+    if args.source:
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, data_root=args.source))
+    if args.out:
+        cfg = dataclasses.replace(
+            cfg, runtime=dataclasses.replace(cfg.runtime, output_dir=args.out))
+
+    from vsta_tpu.utils.platform import select_platform
+
+    select_platform(cfg.runtime.device)
+
+    import numpy as np
+
+    from vsta_tpu.data.pipeline import Prefetcher
+    from vsta_tpu.data.wildtrack import WildtrackDataset
+    from vsta_tpu.export import load_serving
+    from vsta_tpu.tracking import SortTracker
+    from vsta_tpu.utils.visualization import save_predictions_json
+
+    serve = load_serving(args.artifact)
+    B = _batch_from_manifest(manifest, cfg.data.batch_size)
+    ds = WildtrackDataset(cfg, train=False)
+    indices = range(min(args.limit, len(ds)) if args.limit else len(ds))
+    dl = Prefetcher(ds, indices, B, shuffle=False,
+                    num_workers=cfg.runtime.num_workers)
+
+    tracker = (
+        SortTracker(max_age=cfg.track.max_age, min_hits=cfg.track.min_hits,
+                    match_dist_m=cfg.track.match_dist_m)
+        if args.track else None
+    )
+
+    out_dir = cfg.runtime.output_dir
+    lat, n_frames, n_warm = [], 0, 0
+    for batch in dl:
+        t0 = time.perf_counter()
+        out = serve(batch["images"], batch["K"], batch["Rt"])
+        boxes = np.asarray(out["boxes"])
+        scores = np.asarray(out["scores"])
+        valid = np.asarray(out["valid"])
+        dt = time.perf_counter() - t0
+        if n_warm < args.warmup:
+            n_warm += 1
+        else:
+            lat.append(dt)
+
+        frame_idx = np.asarray(batch["frame_idx"]).tolist()
+        batch_mask = np.asarray(batch["batch_mask"])
+        tracks_per_frame = None
+        if tracker is not None:
+            tracks_per_frame = []
+            for b in range(boxes.shape[0]):
+                if not batch_mask[b]:
+                    tracks_per_frame.append([])
+                    continue
+                keep = valid[b]
+                trks = tracker.update(boxes[b][keep, :2], scores[b][keep])
+                tracks_per_frame.append([
+                    {"id": int(t["id"]),
+                     "xy": [float(t["xy"][0]), float(t["xy"][1])],
+                     "velocity": [float(t["velocity"][0]),
+                                  float(t["velocity"][1])],
+                     "score": float(t["score"])}
+                    for t in trks
+                ])
+        save_predictions_json(boxes, scores, valid, out_dir, frame_idx,
+                              batch_mask, tracks=tracks_per_frame)
+        n_frames += int(batch_mask.sum())
+
+    stats = {"frames": n_frames, "batch": B}
+    if lat:
+        arr = np.array(lat)
+        stats.update({
+            "batches_timed": len(lat),
+            "latency_ms_mean": round(float(arr.mean() * 1e3), 2),
+            "latency_ms_p50": round(float(np.percentile(arr, 50) * 1e3), 2),
+            "latency_ms_p95": round(float(np.percentile(arr, 95) * 1e3), 2),
+            "latency_ms_per_frame": round(float(arr.mean() * 1e3 / B), 2),
+            "frames_per_sec": round(B / float(arr.mean()), 1),
+        })
+    print("[serve] " + json.dumps(stats))
+    print(f"Saved predictions JSON for {n_frames} frames to {out_dir}")
+
+
+if __name__ == "__main__":
+    main()
