@@ -73,6 +73,28 @@ def test_view_axis_sharding_matches():
     np.testing.assert_allclose(losses_ref, losses_dpvp, rtol=2e-4)
 
 
+@pytest.mark.parametrize("fusion", ["attn", "deform_attn"])
+def test_attention_families_match_single_device(fusion):
+    """The Phase-2 fusion families (attention + deformable attention)
+    under a data-sharded mesh must match the single-device math - their
+    per-view softmax gating / sampling offsets are batch-local, so DP
+    sharding touches only the gradient psum."""
+    import dataclasses
+
+    cfg = tiny_cfg()
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, batch_size=4),
+        model=dataclasses.replace(
+            cfg.model, fusion=fusion, attn_heads=2, attn_points=2,
+            attn_stride=2,
+        ),
+    )
+    losses_1, _ = _run_steps(cfg, make_mesh(1, 1), n=2)
+    losses_4, _ = _run_steps(cfg, make_mesh(4, 1), n=2)
+    np.testing.assert_allclose(losses_1, losses_4, rtol=2e-4)
+
+
 def test_dryrun_multichip_entrypoint():
     import sys
 
