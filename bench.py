@@ -76,14 +76,9 @@ def _setup_jax():
     # can set them - sitecustomize imports jax at startup - so update
     # jax.config directly; backends initialize lazily, so this is early
     # enough)
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    except Exception:
-        pass
+    from vsta_tpu.utils.platform import enable_compile_cache
+
+    enable_compile_cache(os.path.dirname(os.path.abspath(__file__)))
     return jax
 
 
@@ -413,13 +408,21 @@ def main():
         return
     tpu_fps, mfu_pct = res
     ref_fps = RECORDED_REFERENCE_FPS
+    # every per-metric line emitted against ref_fps, so they can all be
+    # re-emitted consistently if the live reference run (at the end, to
+    # keep the headline first) raises the baseline
+    vs_lines = []
+
+    def _emit_vs(line, numerator):
+        line = dict(line, vs_baseline=round(numerator / ref_fps, 2))
+        vs_lines.append((line, numerator))
+        _emit(line)
 
     # headline FIRST: a later timeout can no longer lose the artifact
-    _emit({
+    _emit_vs({
         "metric": "wildtrack_e2e_frames_per_sec",
         "value": round(tpu_fps, 3), "unit": "frames/s/chip",
-        "vs_baseline": round(tpu_fps / ref_fps, 2),
-    })
+    }, tpu_fps)
 
     extras = {}
     if mfu_pct is not None:
@@ -439,11 +442,10 @@ def main():
         train_fps = _retry(bench_train_tpu, "train-step", attempts=2)
         if train_fps is not None:
             extras["train_fps"] = round(train_fps, 3)
-            _emit({
+            _emit_vs({
                 "metric": "wildtrack_train_frames_per_sec",
                 "value": round(train_fps, 3), "unit": "frames/s/chip",
-                "vs_baseline": round(train_fps / ref_fps, 2),
-            })
+            }, train_fps)
 
     if not fast and _remaining() > 240:
         deform_fps = _retry(
@@ -452,11 +454,10 @@ def main():
         )
         if deform_fps is not None:
             extras["deform_train_fps"] = round(deform_fps, 3)
-            _emit({
+            _emit_vs({
                 "metric": "wildtrack_deform_train_frames_per_sec",
                 "value": round(deform_fps, 3), "unit": "frames/s/chip",
-                "vs_baseline": round(deform_fps / ref_fps, 2),
-            })
+            }, deform_fps)
 
     if not fast and _remaining() > 300:
         pipe = _retry(bench_pipeline_tpu, "input-pipeline", attempts=1)
@@ -464,16 +465,21 @@ def main():
             fps_cold, fps_warm = pipe
             extras["pipeline_fps_cold"] = round(fps_cold, 3)
             extras["pipeline_fps_warm"] = round(fps_warm, 3)
-            _emit({
+            _emit_vs({
                 "metric": "wildtrack_input_included_frames_per_sec",
                 "value": round(fps_warm, 3), "unit": "frames/s/chip",
-                "vs_baseline": round(fps_warm / ref_fps, 2),
                 "cold_fps": round(fps_cold, 3),
-            })
+            }, fps_warm)
 
     if _remaining() > 45:
         live = bench_reference_cpu()
-        ref_fps = max(live or 0.0, RECORDED_REFERENCE_FPS)
+        if live and live > ref_fps:
+            # baseline moved: re-emit every per-metric line with the
+            # corrected vs_baseline so the run is self-consistent (the
+            # tail parser keeps the LAST line per metric)
+            ref_fps = live
+            for line, numerator in vs_lines:
+                _emit(dict(line, vs_baseline=round(numerator / ref_fps, 2)))
 
     # final combined headline (duplicate of the first line + extras): the
     # tail parser picks up whichever printed last

@@ -76,7 +76,13 @@ def main():
             np.asarray(batch["batch_mask"]),
         )
     summary = acc.summary()
-    print(json.dumps({k: round(float(v), 4) for k, v in summary.items()}, indent=2))
+    # zero-frame evals yield NaN metrics; NaN is not valid JSON, so map it
+    # to null to keep the output parseable by strict consumers
+    clean = {
+        k: (None if isinstance(v, float) and np.isnan(v) else round(float(v), 4))
+        for k, v in summary.items()
+    }
+    print(json.dumps(clean, indent=2))
 
 
 if __name__ == "__main__":

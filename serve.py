@@ -108,7 +108,7 @@ def main():
     )
 
     out_dir = cfg.runtime.output_dir
-    lat, n_frames, n_warm = [], 0, 0
+    lat, n_frames, n_warm, n_timed = [], 0, 0, 0
     for batch in dl:
         t0 = time.perf_counter()
         out = serve(batch["images"], batch["K"], batch["Rt"])
@@ -116,13 +116,15 @@ def main():
         scores = np.asarray(out["scores"])
         valid = np.asarray(out["valid"])
         dt = time.perf_counter() - t0
+        frame_idx = np.asarray(batch["frame_idx"]).tolist()
+        batch_mask = np.asarray(batch["batch_mask"])
         if n_warm < args.warmup:
             n_warm += 1
         else:
             lat.append(dt)
-
-        frame_idx = np.asarray(batch["frame_idx"]).tolist()
-        batch_mask = np.asarray(batch["batch_mask"])
+            # Real (unpadded) frames in this timed batch: per-frame stats
+            # must not count the padding rows of a final partial batch.
+            n_timed += int(batch_mask.sum())
         tracks_per_frame = None
         if tracker is not None:
             tracks_per_frame = []
@@ -145,15 +147,16 @@ def main():
         n_frames += int(batch_mask.sum())
 
     stats = {"frames": n_frames, "batch": B}
-    if lat:
+    if lat and n_timed:
         arr = np.array(lat)
         stats.update({
             "batches_timed": len(lat),
+            "frames_timed": n_timed,
             "latency_ms_mean": round(float(arr.mean() * 1e3), 2),
             "latency_ms_p50": round(float(np.percentile(arr, 50) * 1e3), 2),
             "latency_ms_p95": round(float(np.percentile(arr, 95) * 1e3), 2),
-            "latency_ms_per_frame": round(float(arr.mean() * 1e3 / B), 2),
-            "frames_per_sec": round(B / float(arr.mean()), 1),
+            "latency_ms_per_frame": round(float(arr.sum() * 1e3 / n_timed), 2),
+            "frames_per_sec": round(n_timed / float(arr.sum()), 1),
         })
     print("[serve] " + json.dumps(stats))
     print(f"Saved predictions JSON for {n_frames} frames to {out_dir}")

@@ -23,11 +23,11 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
 
-_CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache")
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+from vsta_tpu.utils.platform import enable_compile_cache
+
+enable_compile_cache(os.path.dirname(os.path.dirname(__file__)))
 
 assert jax.devices()[0].platform == "cpu", (
     "tests must run on the virtual CPU mesh, got "

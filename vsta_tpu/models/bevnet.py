@@ -77,10 +77,18 @@ class BEVNet(nn.Module):
     attn_stride: int = 4
     static_cameras: bool = True
     dtype: Any = jnp.float32
+    # Mesh the model is built to run under (None = single-device). Pinned
+    # at construction by from_config so jit caches key on it through
+    # apply_fn equality; when None, the active-mesh global is consulted at
+    # trace time (legacy fallback for direct constructors).
+    mesh: Any = None
 
     @classmethod
     def from_config(cls, cfg: Config) -> "BEVNet":
+        from ..parallel.mesh import get_active_mesh
+
         return cls(
+            mesh=get_active_mesh(),
             backbone=cfg.model.backbone,
             feat_dim=cfg.model.feat_dim,
             out_index=cfg.model.out_index,
@@ -242,7 +250,7 @@ class BEVNet(nn.Module):
             )
             from ..parallel.mesh import get_active_mesh
 
-            mesh = get_active_mesh()
+            mesh = self.mesh if self.mesh is not None else get_active_mesh()
             if use_pallas and mesh is not None and mesh.devices.size > 1:
                 # Pallas custom calls carry no SPMD partitioning rule:
                 # under a >1-device mesh the kernel gets a per-device

@@ -10,6 +10,32 @@ in the environment (the value is latched before user code runs) - only a
 
 from __future__ import annotations
 
+import os
+
+
+def enable_compile_cache(repo_root: str | None = None) -> None:
+    """Point JAX's persistent compilation cache at ``<repo>/.jax_cache``.
+
+    One shared location for every entry point (bench.py, tests/conftest,
+    __graft_entry__) so compiled programs are reused across processes on
+    this slow-compile host. Thresholds are zeroed so even tiny programs
+    are cached. Safe to call multiple times; a no-op once a backend has
+    latched the settings.
+    """
+    if repo_root is None:
+        # vsta_tpu/utils/platform.py -> repo root is two levels up
+        repo_root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", os.path.join(repo_root, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
+
 
 def select_platform(device: str) -> None:
     """Force the CPU backend when ``RUNTIME.DEVICE`` is ``cpu``.
