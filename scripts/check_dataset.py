@@ -26,6 +26,11 @@ def main():
     parser.add_argument("--config", type=str, default=None)
     parser.add_argument("--data_root", type=str, default=None)
     parser.add_argument("--views", type=int, default=7)
+    parser.add_argument("--device", type=str, default=None,
+                        help="force a JAX platform (e.g. cpu) - a dataset "
+                             "check needs no accelerator, and on hosts where "
+                             "the ambient backend is a flaky remote device "
+                             "this makes the run deterministic")
     args = parser.parse_args()
 
     from vsta_tpu.config import Config, DataConfig, load_config
@@ -36,6 +41,10 @@ def main():
         cfg = Config(data=DataConfig(data_root=args.data_root, views=args.views))
     else:
         parser.error("pass --config or --data_root")
+
+    from vsta_tpu.utils.platform import select_platform
+
+    select_platform(args.device or cfg.runtime.device)
 
     from vsta_tpu.data.wildtrack import WildtrackDataset
 

@@ -59,6 +59,11 @@ def test_check_dataset_cli(tmp_path):
             str(root),
             "--views",
             "3",
+            # JAX_PLATFORMS in the child env does not reliably take on
+            # hosts whose sitecustomize latches the ambient platform;
+            # --device goes through jax.config before backend init
+            "--device",
+            "cpu",
         ],
         capture_output=True,
         text=True,

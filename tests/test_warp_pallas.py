@@ -345,6 +345,35 @@ def test_taps_dot_grouped_matches_einsum(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
 
 
+def test_scatter_tapdot_grouped_matches_oracles(rng):
+    """Fused backward kernel == the .at[].add scatter oracle AND the
+    tap-dot einsum oracle in one pass (interpret mode)."""
+    from vsta_tpu.ops.warp_pallas import scatter_tapdot_grouped
+
+    maps, locs, fp, idx4, wts = _grouped_case(rng)
+    G, P, C = fp.shape
+    S = idx4.shape[1]
+    g_out = jnp.array(rng.standard_normal((G, S, C)).astype(np.float32))
+
+    with pltpu.force_tpu_interpret_mode():
+        fused = scatter_tapdot_grouped(
+            fp, g_out, idx4, wts, compute_dtype=jnp.float32
+        )
+    assert fused is not None, "test shapes must fit the g-major VMEM budget"
+    dmap, dwts = fused
+
+    contrib = wts[..., None] * g_out[:, :, None, :]
+    ref_dmap = (
+        jnp.zeros((G, P, C)).at[jnp.arange(G)[:, None, None], idx4, :].add(contrib)
+    )
+    taps = jnp.stack(
+        [jnp.take(fp[g], idx4[g].reshape(-1), axis=0).reshape(S, 4, C) for g in range(G)]
+    )
+    ref_dwts = jnp.einsum("gnkc,gnc->gnk", taps, g_out)
+    np.testing.assert_allclose(np.asarray(dmap), np.asarray(ref_dmap), atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(dwts), np.asarray(ref_dwts), atol=1e-4, rtol=1e-4)
+
+
 def test_sample_bilinear_many_grouped_path_fwd_and_grads(rng):
     """sample_bilinear_many through the grouped Pallas kernels (interpret
     mode) == the XLA gather path, for the output AND both gradients
@@ -407,3 +436,16 @@ def test_grouped_sampler_compiled_on_tpu(rng):
     ref_d = jnp.einsum("gnkc,gnc->gnk", taps, g_out)
     out_d = taps_dot_grouped(fp, g_out, idx4, wts, compute_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(out_d), np.asarray(ref_d), atol=1e-3, rtol=1e-3)
+
+    # COMPILED fused backward vs the same references
+    from vsta_tpu.ops.warp_pallas import scatter_tapdot_grouped
+
+    fused = scatter_tapdot_grouped(fp, g_out, idx4, wts, compute_dtype=jnp.float32)
+    assert fused is not None
+    dmap, dwts = fused
+    contrib = wts[..., None] * g_out[:, :, None, :]
+    ref_dmap = (
+        jnp.zeros((G, P, C)).at[jnp.arange(G)[:, None, None], idx4, :].add(contrib)
+    )
+    np.testing.assert_allclose(np.asarray(dmap), np.asarray(ref_dmap), atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(dwts), np.asarray(ref_d), atol=1e-3, rtol=1e-3)

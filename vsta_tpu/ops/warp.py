@@ -342,6 +342,24 @@ def _warp_pairs_shared_bwd(feat_hw, res, g):
     fdtype = g.dtype
     Wp = feat_hw[1] + 1
     idx4 = _flat_taps(anchors, Wp)
+    use, interp = _grouped_dispatch(feats_vpbc)
+    if use:
+        # fused backward: one kernel pass shares the span walk, the tap
+        # masks, and the cotangent DMA between the dfeats scatter and the
+        # d_wts tap dots (None when the per-group blocks exceed VMEM)
+        from .warp_pallas import scatter_tapdot_grouped
+
+        fused = scatter_tapdot_grouped(
+            feats_vpbc, g, idx4, wts.astype(jnp.float32),
+            compute_dtype=jnp.bfloat16 if fdtype == jnp.bfloat16 else jnp.float32,
+            interpret=interp,
+        )
+        if fused is not None:
+            dfeats, d_wts = fused
+            import numpy as _np
+
+            d_anchors = _np.zeros(anchors.shape, dtype=jax.dtypes.float0)
+            return dfeats.astype(fdtype), d_anchors, d_wts.astype(wts.dtype)
     if jax.default_backend() == "tpu" and spmd_local_ok():
         from .warp_pallas import scatter_taps_windowed
 
@@ -361,7 +379,6 @@ def _warp_pairs_shared_bwd(feat_hw, res, g):
         dfeats = dfeats.at[vix, idx4, :].add(contrib)
     # exact weight gradient (drives learned sampling offsets, e.g.
     # deformable attention): d_wts = <taps, g> per tap
-    use, interp = _grouped_dispatch(feats_vpbc)
     if use:
         from .warp_pallas import taps_dot_grouped
 

@@ -1081,6 +1081,150 @@ def taps_dot_grouped(
     return out[:, :N]
 
 
+def _grouped_bwd_gmajor_kernel(
+    idx_ref,   # [1, 4, N_pad] int32
+    wts_ref,   # [1, 4, N_pad] f32
+    g_ref,     # [1, N_pad, K_pad] cotangent
+    map_ref,   # [1, P_res, K_pad] feature map (for d_wts tap dots)
+    dmap_ref,  # [1, P_res, K_pad] f32 out (dfeats)
+    dwts_ref,  # [1, TT, 4, TILE_N] f32 out (d_wts)
+    *,
+    compute_dtype,
+    p_res,
+    n_tiles,
+):
+    """Fused backward of the grouped sampler: ONE span walk per sample
+    tile produces both gradients. The scatter half (dfeats = S^T @ g) and
+    the tap-dot half (d_wts = <map, g> selected per tap) previously ran
+    as two kernels repeating the same window walk, the same 4 iota==rel
+    tap masks, and the same g-block DMA; here each window builds the
+    masks once and feeds both MXU contractions."""
+    dmap_ref[0, :, :] = jnp.zeros_like(dmap_ref[0])
+    iota = jax.lax.broadcasted_iota(jnp.int32, (GRWIN, TILE_N), 0)
+
+    def tloop(t, _):
+        idxb = idx_ref[0, :, pl.ds(t * TILE_N, TILE_N)]  # [4, TILE]
+        wtsb = wts_ref[0, :, pl.ds(t * TILE_N, TILE_N)]
+        gt = g_ref[0, pl.ds(t * TILE_N, TILE_N), :].astype(compute_dtype)
+        lo = jnp.min(idxb)
+        hi = jnp.max(idxb)
+        lo8 = jnp.clip((lo // 8) * 8, 0, p_res - GRWIN)
+        nw = (hi - lo8) // GRWIN + 1
+
+        def body(w, acc):
+            start = pl.multiple_of(lo8 + w * GRWIN, 8)
+            span = map_ref[0, pl.ds(start, GRWIN), :]
+            # tap-dot half: dots[r, s] = <map[start + r], g[s]>
+            dots = jax.lax.dot_general(
+                span, gt, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_mxu_precision(compute_dtype),
+            )  # [GRWIN, TILE_N]
+            s = jnp.zeros((GRWIN, TILE_N), jnp.float32)
+            new = []
+            for k in range(4):
+                rel = idxb[k][None, :] - start
+                m = iota == rel  # shared tap mask: one-hot AND dot select
+                s = s + jnp.where(m, wtsb[k][None, :], 0.0)
+                new.append(acc[k] + jnp.sum(jnp.where(m, dots, 0.0), axis=0))
+            # scatter half: dmap[span] += S @ g  ([GRWIN, TILE] @ [TILE, K])
+            dmap_ref[0, pl.ds(start, GRWIN), :] += jnp.dot(
+                s.astype(compute_dtype), gt,
+                preferred_element_type=jnp.float32,
+                precision=_mxu_precision(compute_dtype),
+            )
+            return tuple(new)
+
+        acc = jax.lax.fori_loop(
+            0, nw, body, tuple(jnp.zeros((TILE_N,), jnp.float32) for _ in range(4))
+        )
+        for k in range(4):
+            dwts_ref[0, t, k, :] = acc[k]
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, tloop, 0)
+
+
+def scatter_tapdot_grouped(
+    maps: jax.Array,
+    gout: jax.Array,
+    idx: jax.Array,
+    wts: jax.Array,
+    *,
+    compute_dtype: jnp.dtype = jnp.bfloat16,
+    interpret: bool = False,
+) -> Optional[Tuple[jax.Array, jax.Array]]:
+    """Both gradients of the grouped sampler in one fused kernel pass.
+
+    maps [G, P, K]; gout [G, N, K] (cotangent); idx/wts [G, N, 4].
+    Returns ``(dmaps [G, P, K] f32, d_wts [G, N, 4] f32)`` - exactly
+    ``scatter_taps_windowed`` + ``taps_dot_grouped`` - or **None** when
+    the per-group blocks exceed the g-major VMEM budget (the caller falls
+    back to the two separate kernels). Masked taps get junk d_wts values
+    the caller masks away, same as ``taps_dot_grouped``.
+    """
+    G, P, K = maps.shape
+    N = idx.shape[1]
+    P_res = _round_up(P, 8) + GRWIN
+    K_pad = _round_up(K, 128)
+    itemsize = jnp.dtype(compute_dtype).itemsize
+
+    N_pad = _round_up(N, TILE_N)
+    # resident per group: map (cdt) + dmap out (f32) + g (cdt) + idx/wts
+    # + dwts out, all double-buffered
+    fused_bytes = 2 * (
+        P_res * K_pad * (itemsize + 4)
+        + N_pad * K_pad * itemsize
+        + N_pad * 4 * 12
+    )
+    if fused_bytes > _GMAJOR_VMEM_BYTES:
+        return None
+    TT = N_pad // TILE_N
+
+    maps = maps.astype(compute_dtype)
+    maps = jnp.pad(maps, ((0, 0), (0, P_res - P), (0, K_pad - K)))
+    gout = gout.astype(compute_dtype)
+    if K_pad != K:
+        gout = jnp.pad(gout, ((0, 0), (0, 0), (0, K_pad - K)))
+    if N_pad != N:
+        gout = jnp.pad(gout, ((0, 0), (0, N_pad - N), (0, 0)))
+        idx = jnp.pad(idx, ((0, 0), (0, N_pad - N), (0, 0)))
+        wts = jnp.pad(wts, ((0, 0), (0, N_pad - N), (0, 0)))
+    # tap-major layout (see note above _span_dot)
+    idx_tm = jnp.transpose(idx, (0, 2, 1)).astype(jnp.int32)
+    wts_tm = jnp.transpose(wts, (0, 2, 1)).astype(jnp.float32)
+
+    dmap, dwts = pl.pallas_call(
+        functools.partial(
+            _grouped_bwd_gmajor_kernel,
+            compute_dtype=compute_dtype,
+            p_res=P_res,
+            n_tiles=TT,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((G, P_res, K_pad), jnp.float32),
+            jax.ShapeDtypeStruct((G, TT, 4, TILE_N), jnp.float32),
+        ),
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, 4, N_pad), lambda g: (g, 0, 0)),
+            pl.BlockSpec((1, 4, N_pad), lambda g: (g, 0, 0)),
+            pl.BlockSpec((1, N_pad, K_pad), lambda g: (g, 0, 0)),
+            pl.BlockSpec((1, P_res, K_pad), lambda g: (g, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, P_res, K_pad), lambda g: (g, 0, 0)),
+            pl.BlockSpec((1, TT, 4, TILE_N), lambda g: (g, 0, 0, 0)),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(fused_bytes + 16 * 1024 * 1024),
+        ),
+        interpret=interpret,
+    )(idx_tm, wts_tm, gout, maps)
+    d_wts = jnp.transpose(dwts, (0, 1, 3, 2)).reshape(G, N_pad, 4)
+    return dmap[:, :P, :K], d_wts[:, :N]
+
+
 # ---------------------------------------------------------------------------
 # legacy dense one-hot kernel (per-batch coords)
 # ---------------------------------------------------------------------------
