@@ -200,7 +200,32 @@ def bench_kernel_canary():
     err_r = float(
         jnp.max(jnp.abs(got_r.astype(jnp.float32) - jnp.sum(ref, axis=0)))
     )  # resident kernel returns the view-sum [N, K]
-    max_err = max(err_g, err_r)
+
+    # fused backward kernel (dfeats scatter + d_wts tap dots in one pass)
+    from vsta_tpu.ops.warp_pallas import scatter_tapdot_grouped
+
+    gout = jnp.asarray(rng.standard_normal((V, N, K)), jnp.float32)
+    fused = scatter_tapdot_grouped(feats, gout, idx4, wts, compute_dtype=jnp.float32)
+    err_b = float("inf")
+    if fused is not None:
+        dmap, dwts = fused
+        contrib = wts[..., None] * gout[:, :, None, :]
+        ref_dmap = (
+            jnp.zeros((V, P, K)).at[jnp.arange(V)[:, None, None], idx4, :].add(contrib)
+        )
+        ref_dwts = jnp.einsum(
+            "vnkc,vnc->vnk",
+            jnp.take_along_axis(
+                feats[:, :, None, :], idx4[..., None], axis=1
+            ).reshape(V, N, 4, K),
+            gout,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        err_b = max(
+            float(jnp.max(jnp.abs(dmap - ref_dmap))),
+            float(jnp.max(jnp.abs(dwts - ref_dwts))),
+        )
+    max_err = max(err_g, err_r, err_b)
     return max_err < 1e-3, max_err
 
 

@@ -69,25 +69,31 @@ def test_serve_cli_streams_artifact(tmp_path):
     env["JAX_PLATFORMS"] = "cpu"
     env.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".jax_cache"))
     out_dir = tmp_path / "served"
+    # --limit 3 with batch 2: the second (timed, post-warmup) batch is a
+    # padded partial batch with ONE real frame - per-frame stats must
+    # count real frames, not padding rows
     r = subprocess.run(
         [sys.executable, str(REPO / "serve.py"), "--artifact", str(artifact),
-         "--track", "--out", str(out_dir), "--warmup", "1"],
+         "--track", "--out", str(out_dir), "--warmup", "1", "--limit", "3"],
         capture_output=True, text=True, timeout=900, env=env, cwd=str(REPO),
     )
     assert r.returncode == 0, r.stderr[-2000:]
 
     outs = sorted(out_dir.glob("frame_*.json"))
-    assert len(outs) == 4
+    assert len(outs) == 3
     rec = json.loads(outs[0].read_text())
     assert set(rec) >= {"frame_idx", "boxes", "scores", "tracks"}
 
     stats_line = [l for l in r.stdout.splitlines() if l.startswith("[serve] ")]
     assert stats_line, r.stdout
     stats = json.loads(stats_line[0][len("[serve] "):])
-    assert stats["frames"] == 4 and stats["batch"] == 2
-    # 2 batches, 1 warmup -> 1 timed
+    assert stats["frames"] == 3 and stats["batch"] == 2
+    # 2 batches, 1 warmup -> 1 timed, holding 1 real frame
     assert stats["batches_timed"] == 1
+    assert stats["frames_timed"] == 1
     assert stats["latency_ms_mean"] > 0
+    # per-frame latency reflects the single real frame (== batch latency)
+    assert abs(stats["latency_ms_per_frame"] - stats["latency_ms_mean"]) < 0.02
 
 
 def test_serve_batch_from_manifest():
