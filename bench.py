@@ -53,8 +53,41 @@ def _remaining() -> float:
     return BUDGET - (time.monotonic() - T0)
 
 
+_HEADLINE_EMITTED = False
+
+
 def _emit(obj) -> None:
+    global _HEADLINE_EMITTED
+    if obj.get("metric") == "wildtrack_e2e_frames_per_sec":
+        _HEADLINE_EMITTED = True
     print(json.dumps(obj), flush=True)
+
+
+def _start_watchdog(grace: float = 30.0) -> None:
+    """Hard wall-clock backstop. A stalled TPU tunnel blocks a jit
+    dispatch inside C indefinitely - the between-stage budget checks
+    never run, the driver times the whole process out, and (round 2) the
+    artifact is lost. The watchdog force-exits at BUDGET+grace: every
+    line _emit already flushed survives on stdout, and if the FIRST
+    stage hung it emits an explicit 0.0 headline so the artifact is
+    parseable either way."""
+    import threading
+
+    def guard():
+        delay = _remaining() + grace
+        if delay > 0:
+            time.sleep(delay)
+        if not _HEADLINE_EMITTED:
+            _emit({"metric": "wildtrack_e2e_frames_per_sec", "value": 0.0,
+                   "unit": "frames/s/chip", "vs_baseline": 0.0,
+                   "error": "budget exceeded before first measurement "
+                            "(stalled TPU tunnel?)"})
+        print("[bench] watchdog: wall-clock budget exceeded, force-exiting",
+              file=sys.stderr, flush=True)
+        sys.stdout.flush()
+        os._exit(3)
+
+    threading.Thread(target=guard, daemon=True, name="bench-watchdog").start()
 
 
 # bf16 peak per chip by device_kind substring (for the MFU estimate)
@@ -426,6 +459,7 @@ def _retry(fn, label, attempts=3, sleep_s=5):
 
 
 def main():
+    _start_watchdog()
     res = _retry(bench_tpu, "inference")
     if res is None:
         _emit({"metric": "wildtrack_e2e_frames_per_sec", "value": 0.0,
