@@ -119,6 +119,45 @@ def test_gradient_accumulation_matches_semantics():
     assert diff2 > 0.0
 
 
+def test_train_step_deform_fused_backward_matches_xla():
+    """A full deform_attn train step through the fused grouped backward
+    kernel (scatter_tapdot_grouped, interpret mode) produces the same
+    losses as the XLA gather path - the compiled-TPU twin of this check
+    rides the bench kernel canary."""
+    import dataclasses
+
+    import vsta_tpu.ops.warp as warp_mod
+
+    cfg = tiny_cfg()
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model, fusion="deform_attn", attn_heads=2, attn_points=2,
+            attn_stride=2,
+        ),
+    )
+    batch = make_batch(cfg)
+
+    def run(n=3):
+        tx = build_optimizer(cfg, steps_per_epoch=10)
+        state = create_state(cfg, tx, jax.random.PRNGKey(0))
+        step = jax.jit(make_train_step(cfg))
+        losses = []
+        for _ in range(n):
+            state, metrics = step(state, batch)
+            losses.append(float(metrics["total_loss"]))
+        return losses
+
+    ref = run()
+    warp_mod.FORCE_GROUPED_INTERPRET = True
+    try:
+        got = run()
+    finally:
+        warp_mod.FORCE_GROUPED_INTERPRET = False
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, ref, rtol=2e-4)
+
+
 def test_train_step_attn_fusion_learns():
     """The attention-fusion family (per-cell softmax view gating - the
     reference's stubbed AttentionFusion, fusion/fusion.py:25-36) trains:
