@@ -218,13 +218,11 @@ def bench_kernel_canary():
     idx4 = _flat_taps(jnp.asarray(anchors), 8)
     wts = jnp.asarray(rng.random((V, N, 4)), jnp.float32)
 
+    taps = jnp.take_along_axis(
+        feats[:, :, None, :], idx4[..., None], axis=1
+    ).reshape(V, N, 4, K)
     ref = jnp.einsum(
-        "vnk,vnkc->vnc",
-        wts,
-        jnp.take_along_axis(feats[:, :, None, :], idx4[..., None], axis=1).reshape(
-            V, N, 4, K
-        ),
-        precision=jax.lax.Precision.HIGHEST,
+        "vnk,vnkc->vnc", wts, taps, precision=jax.lax.Precision.HIGHEST
     )
     got_g = sample_tiles_grouped(feats, idx4, wts, compute_dtype=jnp.float32)
     err_g = float(jnp.max(jnp.abs(got_g - ref)))  # per-group [V, N, K]
@@ -247,12 +245,7 @@ def bench_kernel_canary():
             jnp.zeros((V, P, K)).at[jnp.arange(V)[:, None, None], idx4, :].add(contrib)
         )
         ref_dwts = jnp.einsum(
-            "vnkc,vnc->vnk",
-            jnp.take_along_axis(
-                feats[:, :, None, :], idx4[..., None], axis=1
-            ).reshape(V, N, 4, K),
-            gout,
-            precision=jax.lax.Precision.HIGHEST,
+            "vnkc,vnc->vnk", taps, gout, precision=jax.lax.Precision.HIGHEST
         )
         err_b = max(
             float(jnp.max(jnp.abs(dmap - ref_dmap))),

@@ -340,9 +340,14 @@ def _warp_pairs_shared_bwd(feat_hw, res, g):
     feats_vpbc, anchors, wts = res
     p_pad = feats_vpbc.shape[1]
     fdtype = g.dtype
+    # g's dtype IS the compute dtype (feats were cast before the warp):
+    # bf16 under AMP, f32 otherwise - keep the kernel matmuls at the same
+    # precision instead of a silent bf16 floor (ADVICE round 1)
+    kdtype = jnp.bfloat16 if fdtype == jnp.bfloat16 else jnp.float32
     Wp = feat_hw[1] + 1
     idx4 = _flat_taps(anchors, Wp)
     use, interp = _grouped_dispatch(feats_vpbc)
+    dfeats = d_wts = None
     if use:
         # fused backward: one kernel pass shares the span walk, the tap
         # masks, and the cotangent DMA between the dfeats scatter and the
@@ -351,51 +356,42 @@ def _warp_pairs_shared_bwd(feat_hw, res, g):
 
         fused = scatter_tapdot_grouped(
             feats_vpbc, g, idx4, wts.astype(jnp.float32),
-            compute_dtype=jnp.bfloat16 if fdtype == jnp.bfloat16 else jnp.float32,
-            interpret=interp,
+            compute_dtype=kdtype, interpret=interp,
         )
         if fused is not None:
             dfeats, d_wts = fused
-            import numpy as _np
+    if dfeats is None:
+        if jax.default_backend() == "tpu" and spmd_local_ok():
+            from .warp_pallas import scatter_taps_windowed
 
-            d_anchors = _np.zeros(anchors.shape, dtype=jax.dtypes.float0)
-            return dfeats.astype(fdtype), d_anchors, d_wts.astype(wts.dtype)
-    if jax.default_backend() == "tpu" and spmd_local_ok():
-        from .warp_pallas import scatter_taps_windowed
+            dfeats = scatter_taps_windowed(
+                g, idx4, wts.astype(jnp.float32), p_pad, compute_dtype=kdtype
+            )
+        else:
+            V, N, _ = idx4.shape
+            K = g.shape[-1]
+            contrib = wts[..., None].astype(jnp.float32) * g[:, :, None, :].astype(jnp.float32)
+            dfeats = jnp.zeros((V, p_pad, K), jnp.float32)
+            vix = jnp.arange(V)[:, None, None]
+            dfeats = dfeats.at[vix, idx4, :].add(contrib)
+        # exact weight gradient (drives learned sampling offsets, e.g.
+        # deformable attention): d_wts = <taps, g> per tap
+        if use:
+            from .warp_pallas import taps_dot_grouped
 
-        # g's dtype IS the compute dtype (feats were cast before the warp):
-        # bf16 under AMP, f32 otherwise - keep the scatter matmuls at the
-        # same precision instead of a silent bf16 floor (ADVICE round 1).
-        scatter_dtype = jnp.bfloat16 if fdtype == jnp.bfloat16 else jnp.float32
-        dfeats = scatter_taps_windowed(
-            g, idx4, wts.astype(jnp.float32), p_pad, compute_dtype=scatter_dtype
-        )
-    else:
-        V, N, _ = idx4.shape
-        K = g.shape[-1]
-        contrib = wts[..., None].astype(jnp.float32) * g[:, :, None, :].astype(jnp.float32)
-        dfeats = jnp.zeros((V, p_pad, K), jnp.float32)
-        vix = jnp.arange(V)[:, None, None]
-        dfeats = dfeats.at[vix, idx4, :].add(contrib)
-    # exact weight gradient (drives learned sampling offsets, e.g.
-    # deformable attention): d_wts = <taps, g> per tap
-    if use:
-        from .warp_pallas import taps_dot_grouped
-
-        d_wts = taps_dot_grouped(
-            feats_vpbc, g, idx4, wts.astype(jnp.float32),
-            compute_dtype=jnp.bfloat16 if fdtype == jnp.bfloat16 else jnp.float32,
-            interpret=interp,
-        ).astype(wts.dtype)
-    else:
-        taps = _gather_taps(feats_vpbc, anchors, feat_hw)
-        d_wts = jnp.einsum(
-            "vnkc,vnc->vnk", taps.astype(jnp.float32), g.astype(jnp.float32)
-        ).astype(wts.dtype)
+            d_wts = taps_dot_grouped(
+                feats_vpbc, g, idx4, wts.astype(jnp.float32),
+                compute_dtype=kdtype, interpret=interp,
+            )
+        else:
+            taps = _gather_taps(feats_vpbc, anchors, feat_hw)
+            d_wts = jnp.einsum(
+                "vnkc,vnc->vnk", taps.astype(jnp.float32), g.astype(jnp.float32)
+            )
     import numpy as _np
 
     d_anchors = _np.zeros(anchors.shape, dtype=jax.dtypes.float0)
-    return dfeats.astype(fdtype), d_anchors, d_wts
+    return dfeats.astype(fdtype), d_anchors, d_wts.astype(wts.dtype)
 
 
 _warp_pairs_shared.defvjp(_warp_pairs_shared_fwd, _warp_pairs_shared_bwd)
