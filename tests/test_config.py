@@ -106,3 +106,12 @@ def test_invalid_enums_fail_fast():
         from_dict({"MODEL": {"HEAD_MID1": 100}})  # not a multiple of 32
     with _pytest.raises(ValueError, match="HEAD_MID2"):
         from_dict({"MODEL": {"HEAD_MID2": 0}})
+
+
+def test_out_index_multiscale_roundtrip():
+    """OUT_INDEX accepts a list of pyramid levels and round-trips."""
+    cfg = from_dict({"MODEL": {"OUT_INDEX": [1, 2]}})
+    assert cfg.model.out_index == (1, 2)
+    cfg2 = from_dict(to_dict(cfg))
+    assert cfg2.model.out_index == (1, 2)
+    assert from_dict({"MODEL": {"OUT_INDEX": 3}}).model.out_index == 3

@@ -122,3 +122,33 @@ def test_uint8_input_matches_host_normalized(rng):
     np.testing.assert_allclose(
         np.asarray(out_u["bev_feat"]), np.asarray(out_f["bev_feat"]), atol=1e-4
     )
+
+
+def test_multiscale_out_index(rng):
+    """OUT_INDEX as a tuple selects several pyramid levels: coarser maps
+    upsample to the finest selected level and concat before the 1x1 proj
+    (BASELINE configs[1] 'multi-scale features with max-fusion variant').
+    The full model trains a step on the 2-view max-fusion combination."""
+    from vsta_tpu.models.encoders.encoder import ViewEncoder
+
+    # encoder level: resnet18 pyramid levels 1 (stride 4) + 2 (stride 8)
+    imgs = jnp.array(rng.standard_normal((2, 2, 32, 48, 3)).astype(np.float32))
+    enc_ms = ViewEncoder(backbone="resnet18", feat_dim=8, out_index=(1, 2))
+    v = enc_ms.init(jax.random.PRNGKey(0), imgs)
+    feat = enc_ms.apply(v, imgs)
+    assert feat.shape == (2, 2, 8, 12, 8)  # finest level's (H/4, W/4)
+
+    # single-level output is unchanged by the multi-scale plumbing
+    enc_1 = ViewEncoder(backbone="resnet18", feat_dim=8, out_index=2)
+    v1 = enc_1.init(jax.random.PRNGKey(0), imgs)
+    f1 = enc_1.apply(v1, imgs)
+    assert f1.shape == (2, 2, 4, 6, 8)
+
+    # model level: 2-view max fusion over multi-scale features
+    model = _small_model(out_index=(1, 2), views=2, fusion="max",
+                         backbone="resnet18")
+    imgs2, K, Rt = _batch(rng, V=2)
+    variables = model.init(jax.random.PRNGKey(0), imgs2, K, Rt)
+    out = model.apply(variables, imgs2, K, Rt)
+    assert out["heatmap"].shape == (1, 16, 32, 1)
+    assert bool(jnp.isfinite(out["heatmap"]).all())

@@ -13,7 +13,7 @@ MODEL.FUSION, EVAL.MAX_DETS, RUNTIME.MESH_*, TRAIN.SEED.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple, Union
 
 import yaml
 
@@ -45,7 +45,11 @@ class ModelConfig:
     pretrained: bool = False
     pretrained_path: str = ""  # local torch .pth state_dict to convert
     feat_dim: int = 64  # channels of the per-view feature map fed to the warp
-    out_index: int = 2  # pyramid level (index into feature pyramid, stride 2^(i+1))
+    # pyramid level (index into feature pyramid, stride 2^(i+1)); a tuple
+    # selects several levels - coarser maps are bilinearly upsampled to
+    # the finest selected level and channel-concatenated (multi-scale
+    # features, BASELINE configs[1])
+    out_index: Union[int, Tuple[int, ...]] = 2
     bev_size: Tuple[int, int] = (120, 360)  # (H, W) cells; YAML stores [C,H,W]
     bev_bounds: Tuple[float, float, float, float] = (-24.0, 24.0, -7.2, 7.2)
     bev_proj_ch: int = 128  # channels after fused view-projection
@@ -246,7 +250,11 @@ def from_dict(raw: Dict[str, Any]) -> Config:
             pretrained=bool(_get(m, "PRETRAINED", False)),
             pretrained_path=str(_get(m, "PRETRAINED_PATH", "")),
             feat_dim=int(_get(m, "FEAT_DIM", 64)),
-            out_index=int(_get(m, "OUT_INDEX", 2)),
+            out_index=(
+                tuple(int(i) for i in _get(m, "OUT_INDEX", 2))
+                if isinstance(_get(m, "OUT_INDEX", 2), (list, tuple))
+                else int(_get(m, "OUT_INDEX", 2))
+            ),
             bev_size=bev_hw,
             bev_bounds=tuple(float(x) for x in _get(m, "BEV_BOUNDS", [-24.0, 24.0, -7.2, 7.2])),
             bev_proj_ch=int(_get(m, "BEV_PROJ_CH", 128)),
@@ -340,7 +348,11 @@ def to_dict(cfg: Config) -> Dict[str, Any]:
             "PRETRAINED": cfg.model.pretrained,
             "PRETRAINED_PATH": cfg.model.pretrained_path,
             "FEAT_DIM": cfg.model.feat_dim,
-            "OUT_INDEX": cfg.model.out_index,
+            "OUT_INDEX": (
+                list(cfg.model.out_index)
+                if isinstance(cfg.model.out_index, tuple)
+                else cfg.model.out_index
+            ),
             "BEV_SIZE": [32, cfg.model.bev_size[0], cfg.model.bev_size[1]],
             "BEV_BOUNDS": list(cfg.model.bev_bounds),
             "BEV_PROJ_CH": cfg.model.bev_proj_ch,

@@ -62,7 +62,7 @@ class BEVNet(nn.Module):
 
     backbone: str = "resnet18"
     feat_dim: int = 64
-    out_index: int = 2
+    out_index: Any = 2  # int, or tuple of pyramid levels (multi-scale)
     views: int = 7
     bev_size: Tuple[int, int] = (120, 360)
     bev_bounds: Tuple[float, float, float, float] = (-24.0, 24.0, -7.2, 7.2)

@@ -39,7 +39,10 @@ def build_backbone(
 class ViewEncoder(nn.Module):
     backbone: str = "resnet18"
     feat_dim: int = 64
-    out_index: int = 2
+    # single pyramid level, or a tuple of levels for multi-scale features
+    # (coarser maps bilinearly upsampled to the finest selected level and
+    # channel-concatenated before the 1x1 proj)
+    out_index: Any = 2
     dtype: Any = jnp.float32
     # When True, skip APPLYING the 1x1 projection and instead return
     # (raw_pyramid_feat, proj_kernel, proj_bias). The caller folds the
@@ -60,7 +63,29 @@ class ViewEncoder(nn.Module):
         pyramid = build_backbone(self.backbone, self.dtype, feat_dim=self.feat_dim)(
             x, train=train
         )
-        feat = pyramid[self.out_index]
+        idx = (
+            tuple(self.out_index)
+            if isinstance(self.out_index, (tuple, list))
+            else (self.out_index,)
+        )
+        feats = [pyramid[i] for i in idx]
+        if len(feats) > 1:
+            # multi-scale: upsample coarser levels to the finest selected
+            # one and concat channels (BASELINE configs[1] "multi-scale
+            # features"); the existing 1x1 proj then mixes scales
+            Ht = max(f.shape[1] for f in feats)
+            Wt = max(f.shape[2] for f in feats)
+            feats = [
+                f
+                if f.shape[1] == Ht and f.shape[2] == Wt
+                else jax.image.resize(
+                    f, (f.shape[0], Ht, Wt, f.shape[-1]), "bilinear"
+                ).astype(f.dtype)
+                for f in feats
+            ]
+            feat = jnp.concatenate(feats, axis=-1)
+        else:
+            feat = feats[0]
         proj = nn.Conv(self.feat_dim, (1, 1), dtype=self.dtype, name="proj")
         if self.fold_proj:
             # bind/initialize proj's params on a dummy pixel (identical
