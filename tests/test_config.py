@@ -40,6 +40,12 @@ def test_repo_configs_parse():
         cfg = load_config(f"configs/{name}.yaml")
         assert cfg.data.views == 7
         assert cfg.model.bev_bounds == (-24.0, 24.0, -7.2, 7.2)
+    cfg = load_config("configs/wildtrack_ms_max.yaml")
+    assert cfg.data.views == 2
+    assert cfg.model.out_index == (1, 2)
+    assert cfg.model.fusion == "max"
+    cfg = load_config("configs/wildtrack_deform.yaml")
+    assert cfg.model.fusion == "deform_attn"
 
 
 def test_roundtrip_to_dict():
