@@ -28,10 +28,20 @@ def main():
     parser.add_argument("--views", type=int, default=4)
     parser.add_argument("--fusion", type=str, default="concat")
     parser.add_argument("--backbone", type=str, default="resnet18")
+    parser.add_argument("--out_index", type=str, default="1",
+                        help="pyramid level, or comma-separated levels "
+                             "for multi-scale (e.g. '1,2')")
+    parser.add_argument("--device", type=str, default="",
+                        help="force a JAX platform (e.g. cpu)")
     parser.add_argument("--lr", type=float, default=2e-3)
     parser.add_argument("--work_dir", type=str, default="/tmp/vsta_overfit")
     parser.add_argument("--target_f1", type=float, default=0.8)
     args = parser.parse_args()
+
+    if args.device:
+        from vsta_tpu.utils.platform import select_platform
+
+        select_platform(args.device)
 
     import jax
 
@@ -58,6 +68,7 @@ def main():
         seed=0,
     )
 
+    levels = tuple(int(i) for i in args.out_index.split(","))
     cfg = Config(
         data=DataConfig(
             batch_size=2, img_size=(216, 384), views=args.views, data_root=str(root)
@@ -65,7 +76,7 @@ def main():
         model=ModelConfig(
             backbone=args.backbone,
             feat_dim=64,
-            out_index=1,
+            out_index=levels[0] if len(levels) == 1 else levels,
             bev_size=(60, 120),
             bev_bounds=(-12.0, 12.0, -6.0, 6.0),
             bev_proj_ch=64,
