@@ -95,6 +95,25 @@ def test_attention_families_match_single_device(fusion):
     np.testing.assert_allclose(losses_1, losses_4, rtol=2e-4)
 
 
+def test_multiscale_max_family_matches_single_device():
+    """The backbone-swap variant (multi-scale OUT_INDEX + max fusion)
+    under a 2x2 mesh: the max over the SHARDED view axis is a cross-shard
+    reduction GSPMD must get right, unlike the psum-shaped concat sum."""
+    import dataclasses
+
+    cfg = tiny_cfg()
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, batch_size=4, views=4),
+        model=dataclasses.replace(
+            cfg.model, fusion="max", out_index=(1, 2), warp_impl="gather"
+        ),
+    )
+    losses_1, _ = _run_steps(cfg, make_mesh(1, 1), n=2)
+    losses_22, _ = _run_steps(cfg, make_mesh(2, 2), n=2)
+    np.testing.assert_allclose(losses_1, losses_22, rtol=2e-4)
+
+
 def test_dryrun_multichip_entrypoint():
     import sys
 
