@@ -63,6 +63,49 @@ def _emit(obj) -> None:
     print(json.dumps(obj), flush=True)
 
 
+def _probe_accelerator(timeout_s: float = 150.0) -> bool:
+    """True when the ambient accelerator answers a tiny matmul within
+    ``timeout_s``, probed in a SUBPROCESS. A stalled TPU tunnel hangs
+    ``jax.devices()`` inside C forever - in-process there is no way to
+    time that out or to switch platforms afterwards. Probing in a child
+    lets this process fall back to the CPU backend *before* its own jax
+    backend latches, so a tunnel outage at driver time still yields a
+    real (if small) measured number instead of the watchdog's 0.0."""
+    import subprocess
+
+    code = (
+        "import jax\n"
+        "assert jax.default_backend() != 'cpu', 'ambient backend is cpu'\n"
+        "import jax.numpy as jnp\n"
+        "(jnp.ones((8, 128), jnp.bfloat16) @ jnp.ones((128, 8), jnp.bfloat16)"
+        ").block_until_ready()\n"
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s, capture_output=True
+        )
+        if proc.returncode != 0:
+            print(f"[bench] accelerator probe failed: "
+                  f"{proc.stderr.decode(errors='replace')[-300:]}",
+                  file=sys.stderr)
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        print(f"[bench] accelerator probe timed out after {timeout_s:.0f}s "
+              "(stalled TPU tunnel?)", file=sys.stderr)
+        return False
+
+
+def _enter_cpu_fallback() -> None:
+    """Shrink the run so the CPU backend finishes within budget: tiny
+    batch, short chains, inference stage only."""
+    global BATCH, N_LO, N_HI, N_REPEAT
+    from vsta_tpu.utils.platform import select_platform
+
+    select_platform("cpu")
+    BATCH, N_LO, N_HI, N_REPEAT = 2, 1, 3, 1
+    os.environ["VSTA_BENCH_FAST"] = "1"
+
+
 def _start_watchdog(grace: float = 30.0) -> None:
     """Hard wall-clock backstop. A stalled TPU tunnel blocks a jit
     dispatch inside C indefinitely - the between-stage budget checks
@@ -179,7 +222,7 @@ def bench_tpu():
     # MFU estimate from XLA's own cost model for the forward program
     # (separate 1-call compile; skipped when the budget is nearly spent)
     mfu_pct = None
-    if _remaining() > 90:
+    if _remaining() > 90 and jax.default_backend() == "tpu":
         try:
             compiled = (
                 jax.jit(step_scalar).lower(variables, images, K, Rt).compile()
@@ -453,6 +496,13 @@ def _retry(fn, label, attempts=3, sleep_s=5):
 
 def main():
     _start_watchdog()
+    cpu_fallback = False
+    if os.environ.get("VSTA_BENCH_SKIP_PROBE") != "1" and not _probe_accelerator():
+        cpu_fallback = True
+        _enter_cpu_fallback()
+        print("[bench] accelerator unreachable; measuring on the CPU "
+              "backend (tiny shapes) so the artifact still carries a real "
+              "number", file=sys.stderr)
     res = _retry(bench_tpu, "inference")
     if res is None:
         _emit({"metric": "wildtrack_e2e_frames_per_sec", "value": 0.0,
@@ -471,12 +521,19 @@ def main():
         _emit(line)
 
     # headline FIRST: a later timeout can no longer lose the artifact
-    _emit_vs({
+    headline = {
         "metric": "wildtrack_e2e_frames_per_sec",
         "value": round(tpu_fps, 3), "unit": "frames/s/chip",
-    }, tpu_fps)
+    }
+    if cpu_fallback:
+        # never let a CPU number masquerade as the TPU rate
+        headline["platform"] = "cpu-fallback"
+        headline["error"] = "accelerator unreachable (stalled tunnel?)"
+    _emit_vs(headline, tpu_fps)
 
     extras = {}
+    if cpu_fallback:
+        extras["platform"] = "cpu-fallback"
     if mfu_pct is not None:
         extras["mfu_pct"] = round(mfu_pct, 2)
 
