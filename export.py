@@ -20,6 +20,43 @@ from pathlib import Path
 from vsta_tpu.config import load_config
 
 
+def _calibration_batches(cfg, batch_size, n_batches):
+    """(images, K, Rt) tuples from DATA_ROOT when it exists, else
+    synthetic ring-camera frames at the configured shapes."""
+    import numpy as np
+
+    out = []
+    root = Path(cfg.data.data_root) if cfg.data.data_root else None
+    if root and root.exists():
+        from vsta_tpu.data.wildtrack import WildtrackDataset
+
+        ds = WildtrackDataset(cfg, train=False)
+        idx = 0
+        for _ in range(n_batches):
+            ims, Ks, Rts = [], [], []
+            for _ in range(batch_size):
+                s = ds[idx % len(ds)]
+                idx += 1
+                ims.append(np.asarray(s["images"]))
+                Ks.append(np.asarray(s["K"]))
+                Rts.append(np.asarray(s["Rt"]))
+            out.append((np.stack(ims), np.stack(Ks), np.stack(Rts)))
+        return out
+
+    from vsta_tpu.data.synthetic import make_ring_camera
+
+    V = cfg.data.views
+    H, W = cfg.data.img_size
+    rng = np.random.default_rng(0)
+    Ks, Rts = zip(*(make_ring_camera(v, V, img_hw=(H, W)) for v in range(V)))
+    K = np.broadcast_to(np.stack(Ks), (batch_size, V, 3, 3)).astype(np.float32)
+    Rt = np.broadcast_to(np.stack(Rts), (batch_size, V, 4, 4)).astype(np.float32)
+    for _ in range(n_batches):
+        images = rng.standard_normal((batch_size, V, H, W, 3)).astype(np.float32)
+        out.append((images, K, Rt))
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", type=str, required=True)
@@ -31,6 +68,12 @@ def main():
     ap.add_argument("--warp_impl", type=str, default=None,
                     help="override MODEL.WARP_IMPL (use 'fused' when "
                          "cross-exporting for another platform)")
+    ap.add_argument("--quantize-head", action="store_true", default=False,
+                    help="serve the detector stem in int8 (2x MXU peak "
+                         "on TPU); calibrated on DATA_ROOT frames when "
+                         "available, synthetic frames otherwise")
+    ap.add_argument("--calib-batches", type=int, default=4,
+                    help="calibration batches for --quantize-head")
     args = ap.parse_args()
 
     cfg = load_config(args.config)
@@ -59,8 +102,21 @@ def main():
     variables = {"params": state.params}
     if state.batch_stats:
         variables["batch_stats"] = state.batch_stats
+
+    quant_head = None
+    if args.quantize_head:
+        from vsta_tpu.export import calibrate_quant_head
+
+        quant_head = calibrate_quant_head(
+            cfg, variables, _calibration_batches(cfg, args.batch, args.calib_batches)
+        )
+        print(f"[quant] int8 head calibrated on {args.calib_batches} batches")
+
     platforms = [args.platform] if args.platform else None
-    exp = export_serving(cfg, variables, batch_size=args.batch, platforms=platforms)
+    exp = export_serving(
+        cfg, variables, batch_size=args.batch, platforms=platforms,
+        quant_head=quant_head,
+    )
     save_exported(exp, args.out, cfg=cfg)
     size_mb = Path(args.out).stat().st_size / 1e6
     print(f"[export] {args.out} ({size_mb:.1f} MB, platforms={list(exp.platforms)}, "

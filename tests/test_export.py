@@ -126,3 +126,27 @@ def test_export_batch_size_is_frozen(tmp_path):
     assert out["boxes"].shape[0] == 1
     with pytest.raises(Exception):
         jax.block_until_ready(serve(images, K, Rt))
+
+
+def test_export_quantized_head_round_trip(tmp_path):
+    """--quantize-head path: calibrate, export, reload; detections track
+    the float artifact within PTQ tolerance."""
+    from vsta_tpu.export import calibrate_quant_head
+
+    cfg = tiny_cfg()
+    images, K, Rt = _inputs(cfg)
+    variables = _variables(cfg, images, K, Rt)
+
+    qp = calibrate_quant_head(cfg, variables, [(images, K, Rt)])
+    live = jax.jit(build_serving_fn(cfg, variables))(images, K, Rt)
+
+    exp = export_serving(
+        cfg, variables, batch_size=cfg.data.batch_size, quant_head=qp
+    )
+    path = tmp_path / "q.hlo"
+    save_exported(exp, path, cfg=cfg)
+    out = load_serving(path)(images, K, Rt)
+
+    assert set(out) == {"boxes", "scores", "valid", "heatmap"}
+    err = float(jnp.max(jnp.abs(out["heatmap"] - live["heatmap"])))
+    assert err < 0.05, f"quantized heatmap drifted {err}"

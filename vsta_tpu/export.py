@@ -43,17 +43,21 @@ from .ops.decode import decode_detections
 _MANIFEST_SUFFIX = ".json"
 
 
-def build_serving_fn(cfg: Config, variables) -> Callable:
+def build_serving_fn(cfg: Config, variables, quant_head=None) -> Callable:
     """Forward + decode with the weights closed over (baked as constants).
 
     Mirrors ``make_eval_step`` (training/state.py:133-162) minus the
     TrainState plumbing: serving has no optimizer and no mutable state.
+    ``quant_head``: int8 head params from :func:`calibrate_quant_head` -
+    the detector stem then runs s8xs8->s32 on the MXU's int8 path.
     """
     model = BEVNet.from_config(cfg)
     e, m = cfg.eval, cfg.model
 
     def serve(images: jax.Array, K: jax.Array, Rt: jax.Array) -> Dict[str, jax.Array]:
-        out = model.apply(variables, images, K, Rt, train=False)
+        out = model.apply(
+            variables, images, K, Rt, train=False, quant_head=quant_head
+        )
         det = decode_detections(
             out["heatmap"],
             out["offset"],
@@ -73,11 +77,30 @@ def build_serving_fn(cfg: Config, variables) -> Callable:
     return serve
 
 
+def calibrate_quant_head(cfg: Config, variables, batches: Sequence[tuple]) -> Dict:
+    """Build int8 head params from representative batches.
+
+    ``batches``: (images, K, Rt) tuples (real frames when available,
+    synthetic otherwise). Runs the float model to collect its own
+    ``bev_feat`` maps, then calibrates/quantizes the detector stem
+    (see :mod:`vsta_tpu.ops.quant`).
+    """
+    from .ops.quant import quantize_head
+
+    model = BEVNet.from_config(cfg)
+    feats = [
+        model.apply(variables, images, K, Rt, train=False)["bev_feat"]
+        for images, K, Rt in batches
+    ]
+    return quantize_head(variables["params"]["detector"], feats)
+
+
 def export_serving(
     cfg: Config,
     variables,
     batch_size: int = 1,
     platforms: Optional[Sequence[str]] = None,
+    quant_head=None,
 ) -> jax_export.Exported:
     """Lower + export the serving program for ``batch_size`` frames.
 
@@ -93,7 +116,7 @@ def export_serving(
         jax.ShapeDtypeStruct((batch_size, V, 3, 3), jnp.float32),
         jax.ShapeDtypeStruct((batch_size, V, 4, 4), jnp.float32),
     )
-    fn = jax.jit(build_serving_fn(cfg, variables))
+    fn = jax.jit(build_serving_fn(cfg, variables, quant_head=quant_head))
     kwargs = {}
     if platforms is not None:
         kwargs["platforms"] = tuple(platforms)

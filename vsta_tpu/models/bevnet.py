@@ -116,10 +116,15 @@ class BEVNet(nn.Module):
         Rt: jax.Array,
         train: bool = False,
         return_per_view: bool = False,
+        quant_head: Optional[Dict] = None,
     ) -> Dict[str, jax.Array]:
         """images [B,V,H,W,3]; K [B,V,3,3]; Rt [B,V,4,4] (world->cam).
 
         Returns channels-last heads + 'bev_feat'; shapes are static.
+        ``quant_head``: int8 serving params from
+        :func:`vsta_tpu.ops.quant.quantize_head`; when given, the
+        detector stem runs in int8 (the trained float detector params
+        are bypassed - serving only).
         """
         B, V, H, W, _ = images.shape
         assert V == self.views, f"config VIEWS={self.views} but got V={V}"
@@ -334,15 +339,20 @@ class BEVNet(nn.Module):
 
         bev_feat = jnp.concatenate([bev_main, pos_bc.astype(bev_main.dtype)], axis=-1)
 
-        det = BEVDetectorHead(
-            bev_bounds=self.bev_bounds,
-            bev_size=self.bev_size,
-            default_box_wh=self.default_box_wh,
-            mid1=self.head_mid1,
-            mid2=self.head_mid2,
-            dtype=self.dtype,
-            name="detector",
-        )(bev_feat)
+        if quant_head is not None:
+            from ..ops.quant import apply_quant_head
+
+            det = apply_quant_head(quant_head, bev_feat.astype(jnp.float32))
+        else:
+            det = BEVDetectorHead(
+                bev_bounds=self.bev_bounds,
+                bev_size=self.bev_size,
+                default_box_wh=self.default_box_wh,
+                mid1=self.head_mid1,
+                mid2=self.head_mid2,
+                dtype=self.dtype,
+                name="detector",
+            )(bev_feat)
         out.update(det)
         out["bev_feat"] = bev_feat.astype(jnp.float32)
         return out

@@ -1,0 +1,207 @@
+"""int8 post-training quantization for the detector head (serving path).
+
+The CenterNet stem is 96% of the forward FLOPs and runs at ~79% of the
+bf16 MXU roofline (docs/PERFORMANCE.md) - the one stage where faster
+*arithmetic*, not bandwidth, buys latency. TPU v5e's MXU executes int8
+at 2x the bf16 rate (394 TOPS vs 197 TFLOP/s), so an int8 stem is the
+remaining single-chip lever the bf16 program cannot reach.
+
+Scheme (standard PTQ):
+  * weights: symmetric per-output-channel int8 (absmax / 127);
+  * activations: symmetric per-tensor int8, scales calibrated from a few
+    representative BEV feature maps;
+  * the three 3x3 stem convs run as s8 x s8 -> s32; GroupNorm + ReLU
+    between them stay float (they are bandwidth-trivial and normalize
+    away quantization scale errors);
+  * the three tiny output convs (128 -> 1/2/2 channels) stay float so
+    the regression outputs keep full precision.
+
+TPU-first formulation: each 3x3 conv is decomposed into nine shifted
+1x1 matmuls - ``lax.dot_general`` over zero-padded slices with
+``preferred_element_type=int32``. dot_general s8xs8->s32 lowers straight
+onto the MXU's int8 path on TPU (convolution ops may be silently upcast
+by XLA; dots are not), the shifted slices are fused views (no im2col
+materialization), and the formulation is backend-portable for testing.
+
+The reference has no quantization story at all (pure fp16-autocast
+torch, project/train.py:238-247); this is a new capability.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# stem conv dilations by position, fixed by the head architecture
+# (reference project/models/heads/detector.py:17-27: middle conv dilated 2)
+_STEM_DILATIONS = (1, 2, 1)
+_GN_GROUPS = 32
+_GN_EPS = 1e-5  # torch/flax-parity epsilon (models/heads.py:34)
+
+
+def quantize_weight_per_cout(w: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """[3,3,Cin,Cout] f32 -> (int8 same shape, f32 scale [Cout])."""
+    absmax = jnp.max(jnp.abs(w), axis=(0, 1, 2))
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    wq = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return wq, scale.astype(jnp.float32)
+
+
+def quantize_act(x: jax.Array, scale: jax.Array) -> jax.Array:
+    """Symmetric per-tensor int8: clip(round(x / scale))."""
+    return jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+
+
+def conv3x3_int8(x_i8: jax.Array, w_i8: jax.Array, dilation: int = 1) -> jax.Array:
+    """SAME-padded 3x3 convolution in exact int8 arithmetic.
+
+    x_i8 [B,H,W,Cin] int8; w_i8 [3,3,Cin,Cout] int8 -> [B,H,W,Cout] int32.
+
+    Nine shifted-slice dot_generals (s8 x s8 -> s32): the dot form is
+    what reliably lowers to the MXU int8 path on TPU; the slices of one
+    shared zero-padded tensor cost no extra HBM traffic after fusion.
+    """
+    B, H, W, Cin = x_i8.shape
+    Cout = w_i8.shape[-1]
+    d = dilation
+    x_pad = jnp.pad(x_i8, ((0, 0), (d, d), (d, d), (0, 0)))
+    acc = jnp.zeros((B, H, W, Cout), jnp.int32)
+    dn = (((3,), (0,)), ((), ()))  # contract x's channel dim with w's Cin
+    for dy in range(3):
+        for dx in range(3):
+            xs = jax.lax.slice(
+                x_pad,
+                (0, dy * d, dx * d, 0),
+                (B, dy * d + H, dx * d + W, Cin),
+            )
+            acc = acc + jax.lax.dot_general(
+                xs, w_i8[dy, dx], dn, preferred_element_type=jnp.int32
+            )
+    return acc
+
+
+def _group_norm(x: jax.Array, scale: jax.Array, bias: jax.Array) -> jax.Array:
+    """flax nn.GroupNorm(num_groups=32, eps=1e-5) twin, f32 math."""
+    B, H, W, C = x.shape
+    g = x.reshape(B, H, W, _GN_GROUPS, C // _GN_GROUPS)
+    mean = jnp.mean(g, axis=(1, 2, 4), keepdims=True)
+    var = jnp.mean(jnp.square(g - mean), axis=(1, 2, 4), keepdims=True)
+    g = (g - mean) * jax.lax.rsqrt(var + _GN_EPS)
+    return g.reshape(B, H, W, C) * scale + bias
+
+
+def _conv3x3_f32(x: jax.Array, kernel: jax.Array, bias: jax.Array) -> jax.Array:
+    return (
+        jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(1, 1),
+            padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        + bias
+    )
+
+
+def _stem_names() -> List[str]:
+    return ["stem0", "stem1", "stem2"]
+
+
+def _float_stem_inputs(det_params: Dict, bev_feat: jax.Array) -> List[jax.Array]:
+    """Run the float stem, returning each conv's INPUT (for calibration)."""
+    xs = []
+    x = bev_feat.astype(jnp.float32)
+    for i, name in enumerate(_stem_names()):
+        xs.append(x)
+        y = jax.lax.conv_general_dilated(
+            x,
+            det_params[name]["kernel"].astype(jnp.float32),
+            window_strides=(1, 1),
+            padding="SAME",
+            rhs_dilation=(_STEM_DILATIONS[i], _STEM_DILATIONS[i]),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        gn = det_params[f"GroupNorm_{i}"]
+        y = _group_norm(
+            y, gn["scale"].astype(jnp.float32), gn["bias"].astype(jnp.float32)
+        )
+        x = jax.nn.relu(y)
+    return xs
+
+
+def quantize_head(
+    det_params: Dict,
+    calib_feats: Sequence[jax.Array],
+    clip_percentile: float = 99.99,
+) -> Dict:
+    """Build int8 serving params for the detector head.
+
+    det_params: the trained head's param subtree
+    (``variables['params']['detector']``). calib_feats: a few
+    representative ``bev_feat`` tensors [B,H,W,C] (the model's own
+    output on real or synthetic frames); activation scales are the
+    ``clip_percentile`` of |x| at each stem conv input across the set.
+
+    Returns a pytree closable into a jitted serving function:
+    ``{'stems': [{w_i8, w_scale, x_scale, gn_scale, gn_bias} x3],
+    'out': {name: {kernel, bias} for the three float output convs}}``.
+    """
+    assert len(calib_feats) > 0, "need at least one calibration batch"
+    names = _stem_names()
+    # per-conv-input |x| pools across the calibration set
+    pools: List[List[np.ndarray]] = [[] for _ in names]
+    for feat in calib_feats:
+        for i, x in enumerate(_float_stem_inputs(det_params, jnp.asarray(feat))):
+            pools[i].append(np.abs(np.asarray(x, np.float32)).ravel())
+    stems = []
+    for i, name in enumerate(names):
+        absx = np.concatenate(pools[i])
+        amax = float(np.percentile(absx, clip_percentile)) if absx.size else 1.0
+        w_i8, w_scale = quantize_weight_per_cout(
+            det_params[name]["kernel"].astype(jnp.float32)
+        )
+        gn = det_params[f"GroupNorm_{i}"]
+        stems.append(
+            {
+                "w_i8": w_i8,
+                "w_scale": w_scale,
+                "x_scale": jnp.float32(max(amax, 1e-8) / 127.0),
+                "gn_scale": gn["scale"].astype(jnp.float32),
+                "gn_bias": gn["bias"].astype(jnp.float32),
+            }
+        )
+    out = {
+        name: {
+            "kernel": det_params[name]["kernel"].astype(jnp.float32),
+            "bias": det_params[name]["bias"].astype(jnp.float32),
+        }
+        for name in ("heatmap_head", "offset_head", "size_head")
+    }
+    return {"stems": stems, "out": out}
+
+
+def apply_quant_head(qparams: Dict, bev_feat: jax.Array) -> Dict[str, jax.Array]:
+    """int8-stem twin of ``BEVDetectorHead.__call__`` (same output dict)."""
+    x = bev_feat.astype(jnp.float32)
+    for i, qs in enumerate(qparams["stems"]):
+        x_i8 = quantize_act(x, qs["x_scale"])
+        y = conv3x3_int8(x_i8, qs["w_i8"], dilation=_STEM_DILATIONS[i])
+        # dequantize: one fused elementwise rescale into the GroupNorm
+        y = y.astype(jnp.float32) * (qs["x_scale"] * qs["w_scale"])
+        y = _group_norm(y, qs["gn_scale"], qs["gn_bias"])
+        x = jax.nn.relu(y)
+    out = qparams["out"]
+    heatmap_logits = _conv3x3_f32(x, out["heatmap_head"]["kernel"], out["heatmap_head"]["bias"])
+    offset_raw = _conv3x3_f32(x, out["offset_head"]["kernel"], out["offset_head"]["bias"])
+    size_raw = _conv3x3_f32(x, out["size_head"]["kernel"], out["size_head"]["bias"])
+    return {
+        "heatmap_logits": heatmap_logits,
+        "heatmap": jax.nn.sigmoid(heatmap_logits),
+        "offset_raw": offset_raw,
+        "offset": jax.nn.sigmoid(offset_raw),
+        "size_raw": size_raw,
+        "size": jnp.exp(size_raw),
+    }
