@@ -32,6 +32,10 @@ def main():
     parser.add_argument("--config", type=str, required=True)
     parser.add_argument("--checkpoint", type=str, default="checkpoints/best")
     parser.add_argument("--split", type=str, default="val", choices=["val", "train", "all"])
+    parser.add_argument("--quantize-head", action="store_true", default=False,
+                        help="score the int8 detector-stem serving path "
+                             "(calibrated on the split's first batches) "
+                             "instead of the float head")
     args = parser.parse_args()
 
     cfg = load_config(args.config)
@@ -63,7 +67,31 @@ def main():
     state, epoch, f1 = ckpt.restore(ckpt_path.name, state)
     print(f"[ckpt] loaded {args.checkpoint} (epoch {epoch}, f1={f1:.3f})")
 
-    eval_step = jax.jit(make_eval_step(cfg))
+    quant_head = None
+    if args.quantize_head:
+        from vsta_tpu.export import calibrate_quant_head
+
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        calib = []
+        for batch in dl:
+            calib.append((batch["images"], batch["K"], batch["Rt"]))
+            if len(calib) >= 2:
+                break
+        quant_head = calibrate_quant_head(cfg, variables, calib)
+        print(f"[quant] int8 head calibrated on {len(calib)} batches")
+        # the Prefetcher is a one-shot iterator; rebuild it for the pass
+        dl = Prefetcher(
+            ds,
+            indices,
+            cfg.data.batch_size,
+            shuffle=False,
+            num_workers=cfg.runtime.num_workers,
+            device_put=lambda b: shard_batch(b, mesh),
+        )
+
+    eval_step = jax.jit(make_eval_step(cfg, quant_head=quant_head))
     acc = DetectionMetrics(match_dist=cfg.eval.nms_dist_m)
     for batch in dl:
         out = eval_step(state, batch)

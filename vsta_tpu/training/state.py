@@ -130,9 +130,12 @@ def make_train_step(cfg: Config):
     return train_step
 
 
-def make_eval_step(cfg: Config):
+def make_eval_step(cfg: Config, quant_head=None):
     """Returns eval_step(state, batch) -> dict with decoded detections
-    (padded/masked) + raw heads, all on device."""
+    (padded/masked) + raw heads, all on device.
+
+    ``quant_head``: int8 detector params (vsta_tpu.ops.quant) - the eval
+    then scores the quantized serving path instead of the float head."""
     e = cfg.eval
     m = cfg.model
 
@@ -141,7 +144,8 @@ def make_eval_step(cfg: Config):
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
         out = state.apply_fn(
-            variables, batch["images"], batch["K"], batch["Rt"], train=False
+            variables, batch["images"], batch["K"], batch["Rt"], train=False,
+            quant_head=quant_head,
         )
         det = decode_detections(
             out["heatmap"],
