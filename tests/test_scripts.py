@@ -156,3 +156,18 @@ EVAL: {{CONF_THRESH: 0.05, NMS_DIST_M: 0.5, INTERVAL: 1, MAX_DETS: 16}}
     assert len(outs) == 4
     rec = _json.loads(outs[0].read_text())
     assert set(rec) >= {"frame_idx", "boxes", "scores", "tracks"}
+
+    # evaluate CLI, on the int8 serving path (calibrate + quantized
+    # eval_step in a real subprocess; float vs int8 parity is covered
+    # by unit tests - here we assert the CLI contract end-to-end)
+    r3 = subprocess.run(
+        [sys.executable, str(REPO / "evaluate.py"), "--config", str(cfg_path),
+         "--checkpoint", str(tmp_path / "ckpt" / "last"), "--split", "all",
+         "--quantize-head"],
+        capture_output=True, text=True, timeout=900, env=env,
+        cwd=str(tmp_path),
+    )
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    assert "[quant] int8 head calibrated" in r3.stdout
+    metrics = _json.loads(r3.stdout[r3.stdout.index("{"):])
+    assert metrics["n_frames"] == 4.0
