@@ -63,7 +63,7 @@ def _emit(obj) -> None:
     print(json.dumps(obj), flush=True)
 
 
-def _probe_accelerator(timeout_s: float = 150.0) -> bool:
+def _probe_accelerator(timeout_s: float = None) -> bool:
     """True when the ambient accelerator answers a tiny matmul within
     ``timeout_s``, probed in a SUBPROCESS. A stalled TPU tunnel hangs
     ``jax.devices()`` inside C forever - in-process there is no way to
@@ -73,6 +73,11 @@ def _probe_accelerator(timeout_s: float = 150.0) -> bool:
     real (if small) measured number instead of the watchdog's 0.0."""
     import subprocess
 
+    if timeout_s is None:
+        # tunable: a loaded rig's healthy-but-slow cold start (jax import
+        # + TPU client init + first compile) must not be misclassified as
+        # an outage and silently demote the artifact to cpu-fallback
+        timeout_s = float(os.environ.get("VSTA_BENCH_PROBE_TIMEOUT", "150"))
     code = (
         "import jax\n"
         "assert jax.default_backend() != 'cpu', 'ambient backend is cpu'\n"
@@ -95,15 +100,20 @@ def _probe_accelerator(timeout_s: float = 150.0) -> bool:
         return False
 
 
+_FALLBACK_ACTIVE = False
+
+
 def _enter_cpu_fallback() -> None:
-    """Shrink the run so the CPU backend finishes within budget: tiny
-    batch, short chains, inference stage only."""
-    global BATCH, N_LO, N_HI, N_REPEAT
+    """Shrink the run so the CPU backend finishes within budget: batch 2,
+    1-3-step chains, inference stage only (shapes stay flagship - the
+    metric means the same thing, just measured on the CPU backend)."""
+    global BATCH, N_LO, N_HI, N_REPEAT, _FALLBACK_ACTIVE
     from vsta_tpu.utils.platform import select_platform
 
     select_platform("cpu")
     BATCH, N_LO, N_HI, N_REPEAT = 2, 1, 3, 1
     os.environ["VSTA_BENCH_FAST"] = "1"
+    _FALLBACK_ACTIVE = True
 
 
 def _start_watchdog(grace: float = 30.0) -> None:
@@ -121,10 +131,15 @@ def _start_watchdog(grace: float = 30.0) -> None:
         if delay > 0:
             time.sleep(delay)
         if not _HEADLINE_EMITTED:
-            _emit({"metric": "wildtrack_e2e_frames_per_sec", "value": 0.0,
-                   "unit": "frames/s/chip", "vs_baseline": 0.0,
-                   "error": "budget exceeded before first measurement "
-                            "(stalled TPU tunnel?)"})
+            line = {"metric": "wildtrack_e2e_frames_per_sec", "value": 0.0,
+                    "unit": "frames/s/chip", "vs_baseline": 0.0,
+                    "error": "budget exceeded before first measurement "
+                             "(stalled TPU tunnel?)"}
+            if _FALLBACK_ACTIVE:
+                line["platform"] = "cpu-fallback"
+                line["error"] = ("cpu-fallback compile exceeded the "
+                                 "budget before first measurement")
+            _emit(line)
         print("[bench] watchdog: wall-clock budget exceeded, force-exiting",
               file=sys.stderr, flush=True)
         sys.stdout.flush()
@@ -197,26 +212,15 @@ def bench_tpu():
             + jnp.sum(out["heatmap"])
         )
 
-    @jax.jit
-    def run_n(n, variables, images, K, Rt):
-        def body(i, acc):
-            # acc folds into the input: serial dependency between steps,
-            # numerically negligible (|acc*1e-30| << 1e-20).
-            return step_scalar(variables, images + acc * 1e-30, K, Rt)
+    # shared chained-N slope protocol (vsta_tpu.utils.timing is the one
+    # copy of the measurement-critical code; the scripts/ benches ride
+    # the same helper)
+    from vsta_tpu.utils.timing import chained_slope_time
 
-        # dynamic trip count: ONE compile serves every n
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
-
-    def timed(n):
-        best = float("inf")
-        for _ in range(N_REPEAT):
-            t0 = time.perf_counter()
-            float(run_n(jnp.int32(n), variables, images, K, Rt))  # scalar fetch
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    float(run_n(jnp.int32(1), variables, images, K, Rt))  # compile once
-    dt = (timed(N_HI) - timed(N_LO)) / (N_HI - N_LO)
+    dt = chained_slope_time(
+        lambda im, k, r: step_scalar(variables, im, k, r),
+        images, K, Rt, n_lo=N_LO, n_hi=N_HI, repeat=N_REPEAT,
+    )
     fps = B / max(dt, 1e-9)
 
     # MFU estimate from XLA's own cost model for the forward program

@@ -52,14 +52,17 @@ def main():
         batch_size=cfg.data.batch_size,
         views=cfg.data.views,
     )
-    dl = Prefetcher(
-        ds,
-        indices,
-        cfg.data.batch_size,
-        shuffle=False,
-        num_workers=cfg.runtime.num_workers,
-        device_put=lambda b: shard_batch(b, mesh),
-    )
+    def make_dl():
+        return Prefetcher(
+            ds,
+            indices,
+            cfg.data.batch_size,
+            shuffle=False,
+            num_workers=cfg.runtime.num_workers,
+            device_put=lambda b: shard_batch(b, mesh),
+        )
+
+    dl = make_dl()
 
     state = create_state(cfg, build_optimizer(cfg, 1), jax.random.PRNGKey(0))
     ckpt_path = Path(args.checkpoint)
@@ -82,14 +85,7 @@ def main():
         quant_head = calibrate_quant_head(cfg, variables, calib)
         print(f"[quant] int8 head calibrated on {len(calib)} batches")
         # the Prefetcher is a one-shot iterator; rebuild it for the pass
-        dl = Prefetcher(
-            ds,
-            indices,
-            cfg.data.batch_size,
-            shuffle=False,
-            num_workers=cfg.runtime.num_workers,
-            device_put=lambda b: shard_batch(b, mesh),
-        )
+        dl = make_dl()
 
     eval_step = jax.jit(make_eval_step(cfg, quant_head=quant_head))
     acc = DetectionMetrics(match_dist=cfg.eval.nms_dist_m)

@@ -27,10 +27,16 @@ def _calibration_batches(cfg, batch_size, n_batches):
 
     out = []
     root = Path(cfg.data.data_root) if cfg.data.data_root else None
+    ds = None
     if root and root.exists():
         from vsta_tpu.data.wildtrack import WildtrackDataset
 
         ds = WildtrackDataset(cfg, train=False)
+        if len(ds) == 0:
+            print(f"[quant] DATA_ROOT {root} has no frames; calibrating "
+                  "on synthetic inputs instead")
+            ds = None
+    if ds is not None:
         idx = 0
         for _ in range(n_batches):
             ims, Ks, Rts = [], [], []

@@ -2,8 +2,8 @@
 """Forward+decode fps: float head vs int8-stem head (serving path).
 
 Measures the end-to-end inference program with the detector stem in
-bf16/f32 vs int8 (ops/quant.py) at flagship shapes, via the chained-N
-slope method (the only honest timing through this rig's TPU tunnel).
+bf16/f32 vs int8 (ops/quant.py) at flagship shapes, via the shared
+chained-N slope protocol (vsta_tpu.utils.timing).
 
 Usage: python scripts/bench_quant.py [--batch 16] [--config configs/wildtrack.yaml]
 """
@@ -11,14 +11,11 @@ Usage: python scripts/bench_quant.py [--batch 16] [--config configs/wildtrack.ya
 import argparse
 import json
 import sys
-import time
 from pathlib import Path
 
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
-
-N_LO, N_HI, N_REPEAT = 2, 12, 3
 
 
 def main():
@@ -34,8 +31,8 @@ def main():
     from vsta_tpu.data.synthetic import make_ring_camera
     from vsta_tpu.export import calibrate_quant_head
     from vsta_tpu.models import BEVNet
-    from vsta_tpu.ops.decode import decode_detections
     from vsta_tpu.utils.platform import enable_compile_cache
+    from vsta_tpu.utils.timing import forward_decode_fps
 
     enable_compile_cache(str(Path(__file__).resolve().parent.parent))
     cfg = load_config(args.config)
@@ -50,48 +47,10 @@ def main():
     variables = model.init(jax.random.PRNGKey(0), images, K, Rt, train=False)
     qp = calibrate_quant_head(cfg, variables, [(images, K, Rt)])
 
-    def fps_for(quant):
-        def step_scalar(variables, images, K, Rt):
-            out = model.apply(
-                variables, images, K, Rt, train=False,
-                quant_head=qp if quant else None,
-            )
-            det = decode_detections(
-                out["heatmap"], out["offset"], out["size"],
-                bounds=cfg.model.bev_bounds,
-                conf_thresh=cfg.eval.conf_thresh,
-                nms_dist_m=cfg.eval.nms_dist_m,
-                max_dets=cfg.eval.max_dets,
-            )
-            return (
-                jnp.sum(det["boxes"]).astype(jnp.float32)
-                + jnp.sum(det["scores"])
-                + jnp.sum(out["heatmap"])
-            )
-
-        @jax.jit
-        def run_n(n, variables, images, K, Rt):
-            def body(i, acc):
-                return step_scalar(variables, images + acc * 1e-30, K, Rt)
-
-            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
-
-        def timed(n):
-            best = float("inf")
-            for _ in range(N_REPEAT):
-                t0 = time.perf_counter()
-                float(run_n(jnp.int32(n), variables, images, K, Rt))
-                best = min(best, time.perf_counter() - t0)
-            return best
-
-        float(run_n(jnp.int32(1), variables, images, K, Rt))  # compile
-        dt = (timed(N_HI) - timed(N_LO)) / (N_HI - N_LO)
-        return B / max(dt, 1e-9)
-
-    for quant in (False, True):
-        fps = fps_for(quant)
+    for label, quant in (("float", None), ("int8", qp)):
+        fps = forward_decode_fps(cfg, model, variables, images, K, Rt, quant_head=quant)
         print(json.dumps({
-            "head": "int8" if quant else "float",
+            "head": label,
             "batch": B,
             "fwd_decode_fps": round(fps, 1),
             "ms_per_batch": round(1000.0 * B / fps, 2),

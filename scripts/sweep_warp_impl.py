@@ -16,14 +16,11 @@ import argparse
 import dataclasses
 import json
 import sys
-import time
 from pathlib import Path
 
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
-
-N_LO, N_HI, N_REPEAT = 2, 12, 3
 
 
 def fps_for(cfg, batch):
@@ -32,7 +29,7 @@ def fps_for(cfg, batch):
 
     from vsta_tpu.data.synthetic import make_ring_camera
     from vsta_tpu.models import BEVNet
-    from vsta_tpu.ops.decode import decode_detections
+    from vsta_tpu.utils.timing import forward_decode_fps
 
     model = BEVNet.from_config(cfg)
     B, V = batch, cfg.data.views
@@ -43,40 +40,7 @@ def fps_for(cfg, batch):
     K = jnp.asarray(np.broadcast_to(np.stack(Ks), (B, V, 3, 3)), jnp.float32)
     Rt = jnp.asarray(np.broadcast_to(np.stack(Rts), (B, V, 4, 4)), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), images, K, Rt, train=False)
-
-    def step_scalar(variables, images, K, Rt):
-        out = model.apply(variables, images, K, Rt, train=False)
-        det = decode_detections(
-            out["heatmap"], out["offset"], out["size"],
-            bounds=cfg.model.bev_bounds,
-            conf_thresh=cfg.eval.conf_thresh,
-            nms_dist_m=cfg.eval.nms_dist_m,
-            max_dets=cfg.eval.max_dets,
-        )
-        return (
-            jnp.sum(det["boxes"]).astype(jnp.float32)
-            + jnp.sum(det["scores"])
-            + jnp.sum(out["heatmap"])
-        )
-
-    @jax.jit
-    def run_n(n, variables, images, K, Rt):
-        def body(i, acc):
-            return step_scalar(variables, images + acc * 1e-30, K, Rt)
-
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
-
-    def timed(n):
-        best = float("inf")
-        for _ in range(N_REPEAT):
-            t0 = time.perf_counter()
-            float(run_n(jnp.int32(n), variables, images, K, Rt))
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    float(run_n(jnp.int32(1), variables, images, K, Rt))  # compile
-    dt = (timed(N_HI) - timed(N_LO)) / (N_HI - N_LO)
-    return B / max(dt, 1e-9)
+    return forward_decode_fps(cfg, model, variables, images, K, Rt)
 
 
 def main():
@@ -86,12 +50,19 @@ def main():
     ap.add_argument("--impls", default="pallas,fused")
     args = ap.parse_args()
 
-    from vsta_tpu.config import load_config
+    from vsta_tpu.config import VALID_WARP_IMPL, load_config
     from vsta_tpu.utils.platform import enable_compile_cache
 
     enable_compile_cache(str(Path(__file__).resolve().parent.parent))
     base = load_config(args.config)
-    for impl in args.impls.split(","):
+    impls = [s.strip() for s in args.impls.split(",") if s.strip()]
+    bad = [s for s in impls if s not in VALID_WARP_IMPL]
+    if bad:
+        # dataclasses.replace bypasses from_dict's validation; a typo'd
+        # impl would otherwise silently fall through to a DIFFERENT warp
+        # path in BEVNet and get benchmarked under the requested name
+        sys.exit(f"unknown warp impl(s) {bad}; valid: {sorted(VALID_WARP_IMPL)}")
+    for impl in impls:
         cfg = dataclasses.replace(
             base, model=dataclasses.replace(base.model, warp_impl=impl)
         )

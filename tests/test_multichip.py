@@ -98,15 +98,26 @@ def test_attention_families_match_single_device(fusion):
 def test_multiscale_max_family_matches_single_device():
     """The backbone-swap variant (multi-scale OUT_INDEX + max fusion)
     under a 2x2 mesh: the max over the SHARDED view axis is a cross-shard
-    reduction GSPMD must get right, unlike the psum-shaped concat sum."""
+    reduction GSPMD must get right, unlike the psum-shaped concat sum.
+
+    Uses resnet18 (not the flat-pyramid 'simple' fallback, which returns
+    the SAME map at every level) so the coarse-level bilinear upsample +
+    channel concat - the multi-scale path itself - actually executes
+    under the mesh."""
     import dataclasses
 
     cfg = tiny_cfg()
     cfg = dataclasses.replace(
         cfg,
-        data=dataclasses.replace(cfg.data, batch_size=4, views=4),
+        data=dataclasses.replace(
+            cfg.data, batch_size=4, views=4, img_size=(32, 48)
+        ),
         model=dataclasses.replace(
-            cfg.model, fusion="max", out_index=(1, 2), warp_impl="gather"
+            cfg.model,
+            backbone="resnet18",
+            fusion="max",
+            out_index=(1, 2),
+            warp_impl="gather",
         ),
     )
     losses_1, _ = _run_steps(cfg, make_mesh(1, 1), n=2)

@@ -201,6 +201,17 @@ def validate(cfg: Config) -> Config:
         )
     if cfg.data.views < 1:
         raise ValueError(f"DATA.VIEWS must be >= 1, got {cfg.data.views}")
+    oi = cfg.model.out_index
+    levels = (oi,) if isinstance(oi, int) else tuple(oi)
+    # pyramids have 5 levels (stride 2^(i+1)); fail here, not deep inside
+    # ViewEncoder tracing
+    if len(levels) == 0 or any(
+        not isinstance(i, int) or i < 0 or i > 4 for i in levels
+    ):
+        raise ValueError(
+            f"MODEL.OUT_INDEX={oi!r} must be a pyramid level in [0, 4] "
+            "or a non-empty list of them"
+        )
     if cfg.model.attn_stride < 1:
         raise ValueError(f"MODEL.ATTN_STRIDE must be >= 1, got {cfg.model.attn_stride}")
     for key, val in (("HEAD_MID1", cfg.model.head_mid1), ("HEAD_MID2", cfg.model.head_mid2)):

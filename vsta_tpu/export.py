@@ -88,10 +88,14 @@ def calibrate_quant_head(cfg: Config, variables, batches: Sequence[tuple]) -> Di
     from .ops.quant import quantize_head
 
     model = BEVNet.from_config(cfg)
-    feats = [
-        model.apply(variables, images, K, Rt, train=False)["bev_feat"]
-        for images, K, Rt in batches
-    ]
+    # jit: eager per-op dispatch would pay hundreds of device round-trips
+    # per calibration batch on tunneled rigs
+    fwd = jax.jit(
+        lambda images, K, Rt: model.apply(variables, images, K, Rt, train=False)[
+            "bev_feat"
+        ]
+    )
+    feats = [fwd(images, K, Rt) for images, K, Rt in batches]
     return quantize_head(variables["params"]["detector"], feats)
 
 

@@ -33,7 +33,6 @@ from typing import Dict, List, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 # stem conv dilations by position, fixed by the head architecture
 # (reference project/models/heads/detector.py:17-27: middle conv dilated 2)
@@ -151,15 +150,25 @@ def quantize_head(
     """
     assert len(calib_feats) > 0, "need at least one calibration batch"
     names = _stem_names()
-    # per-conv-input |x| pools across the calibration set
-    pools: List[List[np.ndarray]] = [[] for _ in names]
+
+    # per-batch |x| percentile at each stem input, computed ON DEVICE
+    # (one jitted pass per batch; pooling raveled host copies would cost
+    # ~GBs at flagship shapes), then max across batches - a conservative
+    # upper envelope of the per-pool percentile
+    @jax.jit
+    def _calib(feat):
+        return [
+            jnp.percentile(jnp.abs(x.astype(jnp.float32)), clip_percentile)
+            for x in _float_stem_inputs(det_params, feat)
+        ]
+
+    amaxes = [0.0, 0.0, 0.0]
     for feat in calib_feats:
-        for i, x in enumerate(_float_stem_inputs(det_params, jnp.asarray(feat))):
-            pools[i].append(np.abs(np.asarray(x, np.float32)).ravel())
+        for i, v in enumerate(_calib(jnp.asarray(feat))):
+            amaxes[i] = max(amaxes[i], float(v))
     stems = []
     for i, name in enumerate(names):
-        absx = np.concatenate(pools[i])
-        amax = float(np.percentile(absx, clip_percentile)) if absx.size else 1.0
+        amax = amaxes[i]
         w_i8, w_scale = quantize_weight_per_cout(
             det_params[name]["kernel"].astype(jnp.float32)
         )
