@@ -214,3 +214,39 @@ def test_pallas_warp_shard_map_matches_single_device():
         bevnet_mod.FORCE_PALLAS_INTERPRET = old
     np.testing.assert_allclose(losses_1, losses_dp, rtol=2e-4)
     np.testing.assert_allclose(losses_1, losses_dpvp, rtol=2e-4)
+
+
+def test_quant_head_eval_matches_single_device():
+    """int8 serving path under a data-sharded mesh: the shifted-slice
+    s8xs8->s32 dot_generals are plain XLA ops GSPMD must partition over
+    the batch without changing the math."""
+    import dataclasses
+
+    from vsta_tpu.export import calibrate_quant_head
+    from vsta_tpu.training.state import make_eval_step
+
+    cfg = tiny_cfg()
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, batch_size=4)
+    )
+    batch = {k: np.asarray(v) for k, v in make_batch(cfg).items()}
+
+    from vsta_tpu.models import BEVNet
+
+    model = BEVNet.from_config(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0), batch["images"], batch["K"], batch["Rt"], train=False
+    )
+    qp = calibrate_quant_head(
+        cfg, variables, [(batch["images"], batch["K"], batch["Rt"])]
+    )
+
+    outs = {}
+    for label, mesh in (("1x1", make_mesh(1, 1)), ("4x1", make_mesh(4, 1))):
+        tx = build_optimizer(cfg, steps_per_epoch=10)
+        state = create_state(cfg, tx, jax.random.PRNGKey(0))
+        state = jax.device_put(state, replicate_sharding(mesh))
+        sharded = shard_batch(batch, mesh)
+        step = jax.jit(make_eval_step(cfg, quant_head=qp))
+        outs[label] = np.asarray(step(state, sharded)["heatmap"])
+    np.testing.assert_allclose(outs["1x1"], outs["4x1"], atol=1e-5)
