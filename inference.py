@@ -18,7 +18,7 @@ import jax
 import numpy as np
 
 from vsta_tpu.config import load_config
-from vsta_tpu.data.pipeline import Prefetcher
+from vsta_tpu.data.pipeline import Prefetcher, multi_clip_plan
 from vsta_tpu.data.wildtrack import WildtrackDataset
 from vsta_tpu.parallel.mesh import make_mesh, shard_batch
 from vsta_tpu.tracking import SortTracker
@@ -33,27 +33,41 @@ def main():
     parser.add_argument("--config", type=str, required=True)
     parser.add_argument("--checkpoint", type=str, default="checkpoints/best")
     parser.add_argument("--track", action="store_true", default=False)
+    parser.add_argument("--clips", type=int, default=1,
+                        help="with --track: run N temporal windows (clips) "
+                             "as N batch rows, one online tracker per clip "
+                             "- one forward pass advances every stream "
+                             "(batched multi-clip inference)")
     parser.add_argument("--save_vis", action="store_true", default=False)
     args = parser.parse_args()
+    if args.clips > 1 and not args.track:
+        parser.error("--clips requires --track")
 
     cfg = load_config(args.config)
     from vsta_tpu.utils.platform import select_platform
 
     select_platform(cfg.runtime.device)
     ds = WildtrackDataset(cfg, train=False)
+    # multi-clip mode: the batch axis carries one temporal window per row
+    # (row c = clip c's next frame), so batch_size := n_clips
+    batch_size = args.clips if args.clips > 1 else cfg.data.batch_size
     mesh = make_mesh(
         cfg.runtime.mesh_data,
         cfg.runtime.mesh_view,
-        batch_size=cfg.data.batch_size,
+        batch_size=batch_size,
         views=cfg.data.views,
+    )
+    plan = (
+        multi_clip_plan(range(len(ds)), args.clips) if args.clips > 1 else None
     )
     dl = Prefetcher(
         ds,
         range(len(ds)),
-        cfg.data.batch_size,
+        batch_size,
         shuffle=False,
         num_workers=cfg.runtime.num_workers,
         device_put=lambda b: shard_batch(b, mesh),
+        plan=plan,
     )
 
     state = create_state(cfg, build_optimizer(cfg, 1), jax.random.PRNGKey(0))
@@ -62,15 +76,18 @@ def main():
     state, epoch, f1 = ckpt.restore(ckpt_path.name, state)
     print(f"[ckpt] loaded {args.checkpoint} (epoch {epoch}, f1={f1:.3f})")
 
-    tracker = (
-        SortTracker(
-            max_age=cfg.track.max_age,
-            min_hits=cfg.track.min_hits,
-            match_dist_m=cfg.track.match_dist_m,
-        )
-        if args.track
-        else None
-    )
+    trackers = None
+    if args.track:
+        # one ONLINE tracker per clip; single-clip mode is one tracker
+        # consuming every batch row in dataset order
+        trackers = [
+            SortTracker(
+                max_age=cfg.track.max_age,
+                min_hits=cfg.track.min_hits,
+                match_dist_m=cfg.track.match_dist_m,
+            )
+            for _ in range(max(1, args.clips))
+        ]
 
     eval_step = jax.jit(make_eval_step(cfg))
     out_dir = cfg.runtime.output_dir
@@ -84,16 +101,17 @@ def main():
         batch_mask = np.asarray(batch["batch_mask"])
 
         tracks_per_frame = None
-        if tracker is not None:
-            # frames arrive in dataset order (shuffle=False); step the
-            # online tracker row by row
+        if trackers is not None:
+            # frames arrive in temporal order per stream (shuffle=False;
+            # in multi-clip mode row b IS clip b): step each row's tracker
             tracks_per_frame = []
             for b in range(boxes.shape[0]):
                 if not batch_mask[b]:
                     tracks_per_frame.append([])
                     continue
                 keep = valid[b]
-                trks = tracker.update(boxes[b][keep, :2], scores[b][keep])
+                trk = trackers[b if args.clips > 1 else 0]
+                trks = trk.update(boxes[b][keep, :2], scores[b][keep])
                 tracks_per_frame.append(
                     [
                         {
@@ -112,6 +130,7 @@ def main():
         save_predictions_json(
             boxes, scores, valid, out_dir, frame_idx, batch_mask,
             tracks=tracks_per_frame,
+            clips=list(range(args.clips)) if args.clips > 1 else None,
         )
         if args.save_vis and n_frames == 0:
             save_bev_heatmap(

@@ -263,3 +263,77 @@ def test_jitter_reproducible_per_epoch_frame(synth_root):
     ds.set_epoch(1)
     c = ds[0]["images"]
     assert not np.array_equal(a, c), "epoch advance must change the jitter"
+
+
+class TestMultiClipPlan:
+    def test_equal_split_rows_are_clips(self):
+        from vsta_tpu.data.pipeline import multi_clip_plan
+
+        plan = multi_clip_plan(range(8), 2)
+        # clip 0 = frames 0..3, clip 1 = frames 4..7; row c = clip c
+        assert [c for c, _ in plan] == [[0, 4], [1, 5], [2, 6], [3, 7]]
+        assert all(n == 2 for _, n in plan)
+
+    def test_remainder_goes_to_first_clips_masked_suffix(self):
+        from vsta_tpu.data.pipeline import multi_clip_plan
+
+        plan = multi_clip_plan(range(7), 3)  # lengths 3, 2, 2
+        assert [c for c, _ in plan] == [[0, 3, 5], [1, 4, 6], [2, 4, 6]]
+        # final step: only clip 0 still has frames; exhausted rows are a
+        # suffix so the Prefetcher's prefix n_real convention holds
+        assert [n for _, n in plan] == [3, 3, 1]
+
+    def test_each_clip_sees_its_frames_in_order(self):
+        from vsta_tpu.data.pipeline import multi_clip_plan
+
+        plan = multi_clip_plan(range(10), 4)
+        n_clips = 4
+        seen = [[] for _ in range(n_clips)]
+        for chunk, n_real in plan:
+            for c in range(n_real):
+                seen[c].append(chunk[c])
+        assert sorted(sum(seen, [])) == list(range(10))
+        for frames in seen:
+            assert frames == sorted(frames)
+
+    def test_prefetcher_honors_plan(self):
+        from vsta_tpu.data.pipeline import Prefetcher, multi_clip_plan
+
+        import numpy as _np
+
+        class Toy:
+            def __getitem__(self, i):
+                return {
+                    "images": _np.zeros((1, 2, 2, 3), _np.float32),
+                    "K": _np.eye(3, dtype=_np.float32)[None],
+                    "Rt": _np.eye(4, dtype=_np.float32)[None],
+                    "boxes_world": _np.zeros((2, 4), _np.float32),
+                    "num_boxes": _np.int32(0),
+                    "frame_idx": _np.int32(i),
+                }
+
+            def __len__(self):
+                return 7
+
+        plan = multi_clip_plan(range(7), 3)
+        pf = Prefetcher(Toy(), range(7), 3, num_workers=1, plan=plan)
+        assert len(pf) == len(plan)
+        rows = []
+        for batch in pf:
+            rows.append((batch["frame_idx"].astype(int).tolist(),
+                         batch["batch_mask"].tolist()))
+        assert rows == [
+            ([0, 3, 5], [True, True, True]),
+            ([1, 4, 6], [True, True, True]),
+            ([2, 4, 6], [True, False, False]),
+        ]
+
+    def test_plan_validation(self):
+        import pytest as _pytest
+
+        from vsta_tpu.data.pipeline import multi_clip_plan
+
+        with _pytest.raises(ValueError):
+            multi_clip_plan(range(3), 4)
+        with _pytest.raises(ValueError):
+            multi_clip_plan(range(3), 0)

@@ -40,6 +40,39 @@ def split_train_val(n_total: int, seed: int = 0) -> Tuple[List[int], List[int]]:
     return perm[:n_train].tolist(), perm[n_train:].tolist()
 
 
+def multi_clip_plan(
+    indices: Sequence[int], n_clips: int
+) -> List[Tuple[List[int], int]]:
+    """Batch plan for batched multi-clip temporal-window inference.
+
+    Splits ``indices`` into ``n_clips`` contiguous temporal windows and
+    emits one batch per time step whose row c is clip c's t-th frame -
+    so a single forward pass advances every clip by one frame, and an
+    online tracker per row sees its clip in frame order (BASELINE
+    configs[4]: "batched multi-clip temporal-window inference").
+
+    Remainder frames go to the FIRST clips (descending lengths), so
+    exhausted clips are always a row suffix and the Prefetcher's
+    prefix-style ``batch_mask``/n_real convention applies unchanged.
+    """
+    idx = list(indices)
+    n = len(idx)
+    if n_clips < 1 or n_clips > n:
+        raise ValueError(f"need 1 <= clips <= {n} frames, got {n_clips}")
+    base, rem = divmod(n, n_clips)
+    clips, start = [], 0
+    for c in range(n_clips):
+        length = base + (1 if c < rem else 0)
+        clips.append(idx[start : start + length])
+        start += length
+    plan = []
+    for t in range(len(clips[0])):
+        n_real = sum(1 for cl in clips if t < len(cl))
+        chunk = [cl[t] if t < len(cl) else cl[-1] for cl in clips]
+        plan.append((chunk, n_real))
+    return plan
+
+
 class _ProducerError:
     """Queue envelope carrying a producer-thread exception to the consumer."""
 
@@ -66,6 +99,7 @@ class Prefetcher:
         seed: int = 0,
         drop_last: bool = False,
         device_put: Optional[Callable[[Dict[str, np.ndarray]], Any]] = None,
+        plan: Optional[List[Tuple[List[int], int]]] = None,
     ):
         self.dataset = dataset
         self.indices = list(indices)
@@ -77,14 +111,26 @@ class Prefetcher:
         self.drop_last = drop_last
         self.device_put = device_put
         self._epoch = 0
+        # explicit (chunk, n_real) batches override the flat split (e.g.
+        # multi_clip_plan); incompatible with shuffle by construction
+        self.plan = plan
+        if plan is not None:
+            assert not shuffle, "an explicit batch plan cannot be shuffled"
+            assert all(len(c) == batch_size for c, _ in plan), (
+                "every plan chunk must match batch_size"
+            )
 
     def __len__(self) -> int:
+        if self.plan is not None:
+            return len(self.plan)
         n = len(self.indices)
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
     def _batches(self) -> List[List[int]]:
+        if self.plan is not None:
+            return list(self.plan)
         order = list(self.indices)
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self._epoch)

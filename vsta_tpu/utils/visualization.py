@@ -42,11 +42,14 @@ def save_predictions_json(
     frame_indices: Sequence[int],
     batch_mask: Optional[np.ndarray] = None,
     tracks: Optional[Sequence[list]] = None,
+    clips: Optional[Sequence[int]] = None,
 ):
     """Write one JSON per frame from padded decoded arrays [B,K,...].
 
     `tracks` (optional, per batch row) adds a "tracks" list of
     {"id","xy","velocity","score"} dicts - the Phase-3 SORT output.
+    `clips` (optional, per batch row) records which temporal window the
+    frame belongs to in multi-clip mode - track ids are per-clip.
     """
     os.makedirs(save_dir, exist_ok=True)
     for b, frame_idx in enumerate(frame_indices):
@@ -60,6 +63,8 @@ def save_predictions_json(
         }
         if tracks is not None:
             out["tracks"] = tracks[b]
+        if clips is not None:
+            out["clip"] = int(clips[b])
         with open(os.path.join(save_dir, f"frame_{int(frame_idx):06d}.json"), "w") as f:
             json.dump(out, f)
 
