@@ -51,12 +51,20 @@ def main():
     ap.add_argument("--out", type=str, default=None,
                     help="override RUNTIME.OUTPUT_DIR for prediction JSON")
     ap.add_argument("--track", action="store_true", default=False)
+    ap.add_argument("--clips", type=int, default=0,
+                    help="with --track: batched multi-clip streaming - "
+                         "split the source into N temporal windows, one "
+                         "per batch row with its own online tracker; N "
+                         "must equal the artifact's frozen batch size "
+                         "(0 = single stream)")
     ap.add_argument("--limit", type=int, default=0,
                     help="serve only the first N frames (0 = all)")
     ap.add_argument("--warmup", type=int, default=1,
                     help="untimed warmup batches (first call compiles "
                          "the artifact's call wrapper)")
     args = ap.parse_args()
+    if args.clips > 1 and not args.track:
+        ap.error("--clips requires --track")
 
     manifest_path = Path(args.artifact + ".json")
     if not manifest_path.exists():
@@ -88,7 +96,7 @@ def main():
 
     import numpy as np
 
-    from vsta_tpu.data.pipeline import Prefetcher
+    from vsta_tpu.data.pipeline import Prefetcher, multi_clip_plan
     from vsta_tpu.data.wildtrack import WildtrackDataset
     from vsta_tpu.export import load_serving
     from vsta_tpu.tracking import SortTracker
@@ -98,14 +106,23 @@ def main():
     B = _batch_from_manifest(manifest, cfg.data.batch_size)
     ds = WildtrackDataset(cfg, train=False)
     indices = range(min(args.limit, len(ds)) if args.limit else len(ds))
+    plan = None
+    if args.clips > 1:
+        if args.clips != B:
+            raise SystemExit(
+                f"--clips {args.clips} must equal the artifact's frozen "
+                f"batch size {B} (each clip rides one batch row)")
+        plan = multi_clip_plan(indices, args.clips)
     dl = Prefetcher(ds, indices, B, shuffle=False,
-                    num_workers=cfg.runtime.num_workers)
+                    num_workers=cfg.runtime.num_workers, plan=plan)
 
-    tracker = (
-        SortTracker(max_age=cfg.track.max_age, min_hits=cfg.track.min_hits,
-                    match_dist_m=cfg.track.match_dist_m)
-        if args.track else None
-    )
+    trackers = None
+    if args.track:
+        trackers = [
+            SortTracker(max_age=cfg.track.max_age, min_hits=cfg.track.min_hits,
+                        match_dist_m=cfg.track.match_dist_m)
+            for _ in range(max(1, args.clips))
+        ]
 
     out_dir = cfg.runtime.output_dir
     lat, n_frames, n_warm, n_timed = [], 0, 0, 0
@@ -126,14 +143,15 @@ def main():
             # must not count the padding rows of a final partial batch.
             n_timed += int(batch_mask.sum())
         tracks_per_frame = None
-        if tracker is not None:
+        if trackers is not None:
             tracks_per_frame = []
             for b in range(boxes.shape[0]):
                 if not batch_mask[b]:
                     tracks_per_frame.append([])
                     continue
                 keep = valid[b]
-                trks = tracker.update(boxes[b][keep, :2], scores[b][keep])
+                trk = trackers[b if args.clips > 1 else 0]
+                trks = trk.update(boxes[b][keep, :2], scores[b][keep])
                 tracks_per_frame.append([
                     {"id": int(t["id"]),
                      "xy": [float(t["xy"][0]), float(t["xy"][1])],
@@ -143,7 +161,9 @@ def main():
                     for t in trks
                 ])
         save_predictions_json(boxes, scores, valid, out_dir, frame_idx,
-                              batch_mask, tracks=tracks_per_frame)
+                              batch_mask, tracks=tracks_per_frame,
+                              clips=(list(range(args.clips))
+                                     if args.clips > 1 else None))
         n_frames += int(batch_mask.sum())
 
     stats = {"frames": n_frames, "batch": B}
