@@ -39,6 +39,10 @@ def main():
                              "- one forward pass advances every stream "
                              "(batched multi-clip inference)")
     parser.add_argument("--save_vis", action="store_true", default=False)
+    parser.add_argument("--quantize-head", action="store_true", default=False,
+                        help="run the int8 detector-stem serving path "
+                             "(calibrated on the first batches; see "
+                             "docs/QUANTIZATION.md)")
     args = parser.parse_args()
     if args.clips > 1 and not args.track:
         parser.error("--clips requires --track")
@@ -60,15 +64,19 @@ def main():
     plan = (
         multi_clip_plan(range(len(ds)), args.clips) if args.clips > 1 else None
     )
-    dl = Prefetcher(
-        ds,
-        range(len(ds)),
-        batch_size,
-        shuffle=False,
-        num_workers=cfg.runtime.num_workers,
-        device_put=lambda b: shard_batch(b, mesh),
-        plan=plan,
-    )
+
+    def make_dl():
+        return Prefetcher(
+            ds,
+            range(len(ds)),
+            batch_size,
+            shuffle=False,
+            num_workers=cfg.runtime.num_workers,
+            device_put=lambda b: shard_batch(b, mesh),
+            plan=plan,
+        )
+
+    dl = make_dl()
 
     state = create_state(cfg, build_optimizer(cfg, 1), jax.random.PRNGKey(0))
     ckpt_path = Path(args.checkpoint)
@@ -89,7 +97,23 @@ def main():
             for _ in range(max(1, args.clips))
         ]
 
-    eval_step = jax.jit(make_eval_step(cfg))
+    quant_head = None
+    if args.quantize_head:
+        from vsta_tpu.export import calibrate_quant_head
+
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        calib = []
+        for batch in dl:
+            calib.append((batch["images"], batch["K"], batch["Rt"]))
+            if len(calib) >= 2:
+                break
+        quant_head = calibrate_quant_head(cfg, variables, calib)
+        print(f"[quant] int8 head calibrated on {len(calib)} batches")
+        dl = make_dl()  # the Prefetcher is a one-shot iterator
+
+    eval_step = jax.jit(make_eval_step(cfg, quant_head=quant_head))
     out_dir = cfg.runtime.output_dir
     n_frames = 0
     for batch in dl:
