@@ -22,6 +22,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--config", default="configs/wildtrack.yaml")
+    ap.add_argument("--conv-impl", default="both", choices=["dots", "conv", "both"],
+                    help="int8 conv lowering to measure (see ops/quant.py "
+                         "CONV_IMPL)")
     args = ap.parse_args()
 
     import jax
@@ -47,7 +50,13 @@ def main():
     variables = model.init(jax.random.PRNGKey(0), images, K, Rt, train=False)
     qp = calibrate_quant_head(cfg, variables, [(images, K, Rt)])
 
-    for label, quant in (("float", None), ("int8", qp)):
+    from vsta_tpu.ops import quant as quant_mod
+
+    impls = ["dots", "conv"] if args.conv_impl == "both" else [args.conv_impl]
+    runs = [("float", None, None)] + [(f"int8-{i}", qp, i) for i in impls]
+    for label, quant, conv_impl in runs:
+        if conv_impl is not None:
+            quant_mod.CONV_IMPL = conv_impl
         fps = forward_decode_fps(cfg, model, variables, images, K, Rt, quant_head=quant)
         print(json.dumps({
             "head": label,

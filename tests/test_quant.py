@@ -24,12 +24,13 @@ def _rand_i8(rng, shape):
     return jnp.asarray(rng.integers(-127, 128, shape), jnp.int8)
 
 
+@pytest.mark.parametrize("impl", ["dots", "conv"])
 @pytest.mark.parametrize("dilation", [1, 2])
-def test_conv3x3_int8_exact_vs_xla_conv(dilation):
+def test_conv3x3_int8_exact_vs_xla_conv(dilation, impl):
     rng = np.random.default_rng(0)
     x = _rand_i8(rng, (2, 9, 11, 6))
     w = _rand_i8(rng, (3, 3, 6, 8))
-    got = conv3x3_int8(x, w, dilation=dilation)
+    got = conv3x3_int8(x, w, dilation=dilation, impl=impl)
     ref = jax.lax.conv_general_dilated(
         x.astype(jnp.int32),
         w.astype(jnp.int32),

@@ -54,15 +54,37 @@ def quantize_act(x: jax.Array, scale: jax.Array) -> jax.Array:
     return jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
 
 
-def conv3x3_int8(x_i8: jax.Array, w_i8: jax.Array, dilation: int = 1) -> jax.Array:
+# How conv3x3_int8 lowers, swappable for the on-TPU measurement
+# (scripts/bench_quant.py --conv-impl):
+#   'dots' - nine shifted-slice s8xs8->s32 dot_generals. Dots reliably
+#     hit the MXU int8 path, but each dot re-reads the padded input from
+#     HBM (~9x traffic: matters for the 512-channel stem1 input).
+#   'conv' - one native lax.conv_general_dilated(s8, s8)->s32. Reads the
+#     input once; wins IF XLA:TPU lowers s8 convolutions at the int8 MXU
+#     rate instead of silently upcasting.
+# Both are exact integer math (the unit test pins them equal).
+CONV_IMPL = "dots"
+
+
+def conv3x3_int8(
+    x_i8: jax.Array, w_i8: jax.Array, dilation: int = 1, impl: str = None
+) -> jax.Array:
     """SAME-padded 3x3 convolution in exact int8 arithmetic.
 
     x_i8 [B,H,W,Cin] int8; w_i8 [3,3,Cin,Cout] int8 -> [B,H,W,Cout] int32.
-
-    Nine shifted-slice dot_generals (s8 x s8 -> s32): the dot form is
-    what reliably lowers to the MXU int8 path on TPU; the slices of one
-    shared zero-padded tensor cost no extra HBM traffic after fusion.
+    ``impl``: 'dots' | 'conv' (default: module CONV_IMPL; see above).
     """
+    impl = impl or CONV_IMPL
+    if impl == "conv":
+        return jax.lax.conv_general_dilated(
+            x_i8,
+            w_i8,
+            window_strides=(1, 1),
+            padding="SAME",
+            rhs_dilation=(dilation, dilation),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
     B, H, W, Cin = x_i8.shape
     Cout = w_i8.shape[-1]
     d = dilation
