@@ -36,6 +36,9 @@ def main():
                         help="score the int8 detector-stem serving path "
                              "(calibrated on the split's first batches) "
                              "instead of the float head")
+    parser.add_argument("--quantize-encoder", action="store_true", default=False,
+                        help="score the int8 ResNet-encoder serving path "
+                             "(BatchNorm-fold PTQ; resnet backbones only)")
     args = parser.parse_args()
 
     cfg = load_config(args.config)
@@ -70,10 +73,8 @@ def main():
     state, epoch, f1 = ckpt.restore(ckpt_path.name, state)
     print(f"[ckpt] loaded {args.checkpoint} (epoch {epoch}, f1={f1:.3f})")
 
-    quant_head = None
-    if args.quantize_head:
-        from vsta_tpu.export import calibrate_quant_head
-
+    quant_head = quant_encoder = None
+    if args.quantize_head or args.quantize_encoder:
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
@@ -82,12 +83,24 @@ def main():
             calib.append((batch["images"], batch["K"], batch["Rt"]))
             if len(calib) >= 2:
                 break
-        quant_head = calibrate_quant_head(cfg, variables, calib)
-        print(f"[quant] int8 head calibrated on {len(calib)} batches")
+        if args.quantize_encoder:
+            from vsta_tpu.export import calibrate_quant_encoder
+
+            quant_encoder = calibrate_quant_encoder(cfg, variables, calib)
+            print(f"[quant] int8 encoder calibrated on {len(calib)} batches")
+        if args.quantize_head:
+            from vsta_tpu.export import calibrate_quant_head
+
+            quant_head = calibrate_quant_head(
+                cfg, variables, calib, quant_encoder=quant_encoder
+            )
+            print(f"[quant] int8 head calibrated on {len(calib)} batches")
         # the Prefetcher is a one-shot iterator; rebuild it for the pass
         dl = make_dl()
 
-    eval_step = jax.jit(make_eval_step(cfg, quant_head=quant_head))
+    eval_step = jax.jit(
+        make_eval_step(cfg, quant_head=quant_head, quant_encoder=quant_encoder)
+    )
     acc = DetectionMetrics(match_dist=cfg.eval.nms_dist_m)
     for batch in dl:
         out = eval_step(state, batch)

@@ -78,8 +78,11 @@ def main():
                     help="serve the detector stem in int8 (2x MXU peak "
                          "on TPU); calibrated on DATA_ROOT frames when "
                          "available, synthetic frames otherwise")
+    ap.add_argument("--quantize-encoder", action="store_true", default=False,
+                    help="serve the ResNet encoder in int8 (BatchNorm-fold "
+                         "PTQ; resnet backbones only)")
     ap.add_argument("--calib-batches", type=int, default=4,
-                    help="calibration batches for --quantize-head")
+                    help="calibration batches for --quantize-*")
     args = ap.parse_args()
 
     cfg = load_config(args.config)
@@ -109,19 +112,26 @@ def main():
     if state.batch_stats:
         variables["batch_stats"] = state.batch_stats
 
-    quant_head = None
-    if args.quantize_head:
-        from vsta_tpu.export import calibrate_quant_head
+    quant_head = quant_encoder = None
+    if args.quantize_head or args.quantize_encoder:
+        calib = _calibration_batches(cfg, args.batch, args.calib_batches)
+        if args.quantize_encoder:
+            from vsta_tpu.export import calibrate_quant_encoder
 
-        quant_head = calibrate_quant_head(
-            cfg, variables, _calibration_batches(cfg, args.batch, args.calib_batches)
-        )
-        print(f"[quant] int8 head calibrated on {args.calib_batches} batches")
+            quant_encoder = calibrate_quant_encoder(cfg, variables, calib)
+            print(f"[quant] int8 encoder calibrated on {args.calib_batches} batches")
+        if args.quantize_head:
+            from vsta_tpu.export import calibrate_quant_head
+
+            quant_head = calibrate_quant_head(
+                cfg, variables, calib, quant_encoder=quant_encoder
+            )
+            print(f"[quant] int8 head calibrated on {args.calib_batches} batches")
 
     platforms = [args.platform] if args.platform else None
     exp = export_serving(
         cfg, variables, batch_size=args.batch, platforms=platforms,
-        quant_head=quant_head,
+        quant_head=quant_head, quant_encoder=quant_encoder,
     )
     save_exported(exp, args.out, cfg=cfg)
     size_mb = Path(args.out).stat().st_size / 1e6

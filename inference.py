@@ -43,6 +43,9 @@ def main():
                         help="run the int8 detector-stem serving path "
                              "(calibrated on the first batches; see "
                              "docs/QUANTIZATION.md)")
+    parser.add_argument("--quantize-encoder", action="store_true", default=False,
+                        help="run the int8 ResNet-encoder serving path "
+                             "(BatchNorm-fold PTQ; resnet backbones only)")
     args = parser.parse_args()
     if args.clips > 1 and not args.track:
         parser.error("--clips requires --track")
@@ -97,10 +100,8 @@ def main():
             for _ in range(max(1, args.clips))
         ]
 
-    quant_head = None
-    if args.quantize_head:
-        from vsta_tpu.export import calibrate_quant_head
-
+    quant_head = quant_encoder = None
+    if args.quantize_head or args.quantize_encoder:
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
@@ -109,11 +110,23 @@ def main():
             calib.append((batch["images"], batch["K"], batch["Rt"]))
             if len(calib) >= 2:
                 break
-        quant_head = calibrate_quant_head(cfg, variables, calib)
-        print(f"[quant] int8 head calibrated on {len(calib)} batches")
+        if args.quantize_encoder:
+            from vsta_tpu.export import calibrate_quant_encoder
+
+            quant_encoder = calibrate_quant_encoder(cfg, variables, calib)
+            print(f"[quant] int8 encoder calibrated on {len(calib)} batches")
+        if args.quantize_head:
+            from vsta_tpu.export import calibrate_quant_head
+
+            quant_head = calibrate_quant_head(
+                cfg, variables, calib, quant_encoder=quant_encoder
+            )
+            print(f"[quant] int8 head calibrated on {len(calib)} batches")
         dl = make_dl()  # the Prefetcher is a one-shot iterator
 
-    eval_step = jax.jit(make_eval_step(cfg, quant_head=quant_head))
+    eval_step = jax.jit(
+        make_eval_step(cfg, quant_head=quant_head, quant_encoder=quant_encoder)
+    )
     out_dir = cfg.runtime.output_dir
     n_frames = 0
     for batch in dl:

@@ -43,20 +43,24 @@ from .ops.decode import decode_detections
 _MANIFEST_SUFFIX = ".json"
 
 
-def build_serving_fn(cfg: Config, variables, quant_head=None) -> Callable:
+def build_serving_fn(
+    cfg: Config, variables, quant_head=None, quant_encoder=None
+) -> Callable:
     """Forward + decode with the weights closed over (baked as constants).
 
     Mirrors ``make_eval_step`` (training/state.py:133-162) minus the
     TrainState plumbing: serving has no optimizer and no mutable state.
-    ``quant_head``: int8 head params from :func:`calibrate_quant_head` -
-    the detector stem then runs s8xs8->s32 on the MXU's int8 path.
+    ``quant_head``/``quant_encoder``: int8 params from
+    :func:`calibrate_quant_head` / :func:`calibrate_quant_encoder` - the
+    stage then runs s8xs8->s32 on the MXU's int8 path.
     """
     model = BEVNet.from_config(cfg)
     e, m = cfg.eval, cfg.model
 
     def serve(images: jax.Array, K: jax.Array, Rt: jax.Array) -> Dict[str, jax.Array]:
         out = model.apply(
-            variables, images, K, Rt, train=False, quant_head=quant_head
+            variables, images, K, Rt, train=False,
+            quant_head=quant_head, quant_encoder=quant_encoder,
         )
         det = decode_detections(
             out["heatmap"],
@@ -77,13 +81,17 @@ def build_serving_fn(cfg: Config, variables, quant_head=None) -> Callable:
     return serve
 
 
-def calibrate_quant_head(cfg: Config, variables, batches: Sequence[tuple]) -> Dict:
+def calibrate_quant_head(
+    cfg: Config, variables, batches: Sequence[tuple], quant_encoder=None
+) -> Dict:
     """Build int8 head params from representative batches.
 
     ``batches``: (images, K, Rt) tuples (real frames when available,
     synthetic otherwise). Runs the float model to collect its own
     ``bev_feat`` maps, then calibrates/quantizes the detector stem
-    (see :mod:`vsta_tpu.ops.quant`).
+    (see :mod:`vsta_tpu.ops.quant`). Pass ``quant_encoder`` when the
+    deployment combines both stages, so the head calibrates on the
+    bev_feat distribution it will actually see.
     """
     from .ops.quant import quantize_head
 
@@ -91,12 +99,50 @@ def calibrate_quant_head(cfg: Config, variables, batches: Sequence[tuple]) -> Di
     # jit: eager per-op dispatch would pay hundreds of device round-trips
     # per calibration batch on tunneled rigs
     fwd = jax.jit(
-        lambda images, K, Rt: model.apply(variables, images, K, Rt, train=False)[
-            "bev_feat"
-        ]
+        lambda images, K, Rt: model.apply(
+            variables, images, K, Rt, train=False, quant_encoder=quant_encoder
+        )["bev_feat"]
     )
     feats = [fwd(images, K, Rt) for images, K, Rt in batches]
     return quantize_head(variables["params"]["detector"], feats)
+
+
+def calibrate_quant_encoder(cfg: Config, variables, batches: Sequence[tuple]) -> Dict:
+    """Build int8 ResNet-encoder params from representative batches.
+
+    Same contract as :func:`calibrate_quant_head`. Supports the resnet
+    backbone family (BatchNorm folds at serving time); raises for
+    backbones without batch stats."""
+    import jax.numpy as jnp
+
+    from .ops.quant_resnet import quantize_encoder
+
+    if cfg.model.backbone not in ("resnet18", "resnet34", "resnet50", "resnet101"):
+        raise ValueError(
+            f"encoder quantization supports the resnet family, not "
+            f"{cfg.model.backbone!r} (BatchNorm-fold PTQ)"
+        )
+    fold = cfg.model.fusion == "concat" and cfg.model.warp_impl in ("fused", "pallas")
+    imgs = []
+    for images, _K, _Rt in batches:
+        x = jnp.asarray(images)
+        if x.dtype == jnp.uint8:
+            # mirror BEVNet's on-device normalization (bevnet.py uint8 path)
+            from .data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+            mean = jnp.asarray(IMAGENET_MEAN, jnp.float32) * 255.0
+            scale = 1.0 / (jnp.asarray(IMAGENET_STD, jnp.float32) * 255.0)
+            x = (x.astype(jnp.float32) - mean) * scale
+        B, V, H, W, _ = x.shape
+        imgs.append(x.reshape(B * V, H, W, 3))
+    return quantize_encoder(
+        cfg.model.backbone,
+        variables["params"]["encoder"],
+        variables["batch_stats"]["encoder"],
+        imgs,
+        cfg.model.out_index,
+        fold,
+    )
 
 
 def export_serving(
@@ -105,6 +151,7 @@ def export_serving(
     batch_size: int = 1,
     platforms: Optional[Sequence[str]] = None,
     quant_head=None,
+    quant_encoder=None,
 ) -> jax_export.Exported:
     """Lower + export the serving program for ``batch_size`` frames.
 
@@ -120,7 +167,9 @@ def export_serving(
         jax.ShapeDtypeStruct((batch_size, V, 3, 3), jnp.float32),
         jax.ShapeDtypeStruct((batch_size, V, 4, 4), jnp.float32),
     )
-    fn = jax.jit(build_serving_fn(cfg, variables, quant_head=quant_head))
+    fn = jax.jit(build_serving_fn(
+        cfg, variables, quant_head=quant_head, quant_encoder=quant_encoder
+    ))
     kwargs = {}
     if platforms is not None:
         kwargs["platforms"] = tuple(platforms)

@@ -117,13 +117,14 @@ class BEVNet(nn.Module):
         train: bool = False,
         return_per_view: bool = False,
         quant_head: Optional[Dict] = None,
+        quant_encoder: Optional[Dict] = None,
     ) -> Dict[str, jax.Array]:
         """images [B,V,H,W,3]; K [B,V,3,3]; Rt [B,V,4,4] (world->cam).
 
         Returns channels-last heads + 'bev_feat'; shapes are static.
-        ``quant_head``: int8 serving params from
-        :func:`vsta_tpu.ops.quant.quantize_head`; when given, the
-        detector stem runs in int8 (the trained float detector params
+        ``quant_head``/``quant_encoder``: int8 serving params from
+        :mod:`vsta_tpu.ops.quant` / :mod:`vsta_tpu.ops.quant_resnet`;
+        when given, that stage runs in int8 (the trained float params
         are bypassed - serving only).
         """
         B, V, H, W, _ = images.shape
@@ -145,14 +146,31 @@ class BEVNet(nn.Module):
         # compose into one [C_raw -> bev_proj_ch] projection (fold_proj);
         # params and checkpoints are unchanged.
         fold = self.fusion == "concat" and self.warp_impl in ("fused", "pallas")
-        enc_out = ViewEncoder(
-            backbone=self.backbone,
-            feat_dim=self.feat_dim,
-            out_index=self.out_index,
-            dtype=self.dtype,
-            fold_proj=fold,
-            name="encoder",
-        )(images, train=train)
+        if quant_encoder is not None:
+            from ..ops.quant_resnet import apply_quant_encoder
+
+            assert quant_encoder["fold_proj"] == fold, (
+                "quant_encoder was calibrated for a different fold_proj "
+                "contract than this model configuration"
+            )
+            enc_out = apply_quant_encoder(quant_encoder, images)
+            if fold:
+                enc_out = (
+                    enc_out[0].astype(self.dtype),
+                    enc_out[1],
+                    enc_out[2],
+                )
+            else:
+                enc_out = enc_out.astype(self.dtype)
+        else:
+            enc_out = ViewEncoder(
+                backbone=self.backbone,
+                feat_dim=self.feat_dim,
+                out_index=self.out_index,
+                dtype=self.dtype,
+                fold_proj=fold,
+                name="encoder",
+            )(images, train=train)
         if fold:
             feats, enc_pk, enc_pb = enc_out
         else:

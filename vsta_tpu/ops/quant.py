@@ -66,42 +66,59 @@ def quantize_act(x: jax.Array, scale: jax.Array) -> jax.Array:
 CONV_IMPL = "dots"
 
 
-def conv3x3_int8(
-    x_i8: jax.Array, w_i8: jax.Array, dilation: int = 1, impl: str = None
+def conv_int8(
+    x_i8: jax.Array,
+    w_i8: jax.Array,
+    stride: int = 1,
+    dilation: int = 1,
+    impl: str = None,
 ) -> jax.Array:
-    """SAME-padded 3x3 convolution in exact int8 arithmetic.
+    """Odd-kernel torch-style (symmetric pad = dilation*(K-1)//2)
+    convolution in exact int8 arithmetic.
 
-    x_i8 [B,H,W,Cin] int8; w_i8 [3,3,Cin,Cout] int8 -> [B,H,W,Cout] int32.
+    x_i8 [B,H,W,Cin] int8; w_i8 [KH,KW,Cin,Cout] int8 ->
+    [B,Ho,Wo,Cout] int32 with Ho = (H + 2p - (d*(KH-1)+1))//stride + 1.
     ``impl``: 'dots' | 'conv' (default: module CONV_IMPL; see above).
     """
     impl = impl or CONV_IMPL
+    KH, KW, Cin, Cout = w_i8.shape
+    d, s = dilation, stride
+    ph, pw = d * (KH - 1) // 2, d * (KW - 1) // 2
     if impl == "conv":
         return jax.lax.conv_general_dilated(
             x_i8,
             w_i8,
-            window_strides=(1, 1),
-            padding="SAME",
-            rhs_dilation=(dilation, dilation),
+            window_strides=(s, s),
+            padding=((ph, ph), (pw, pw)),
+            rhs_dilation=(d, d),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.int32,
         )
-    B, H, W, Cin = x_i8.shape
-    Cout = w_i8.shape[-1]
-    d = dilation
-    x_pad = jnp.pad(x_i8, ((0, 0), (d, d), (d, d), (0, 0)))
-    acc = jnp.zeros((B, H, W, Cout), jnp.int32)
+    B, H, W, _ = x_i8.shape
+    Ho = (H + 2 * ph - (d * (KH - 1) + 1)) // s + 1
+    Wo = (W + 2 * pw - (d * (KW - 1) + 1)) // s + 1
+    x_pad = jnp.pad(x_i8, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+    acc = jnp.zeros((B, Ho, Wo, Cout), jnp.int32)
     dn = (((3,), (0,)), ((), ()))  # contract x's channel dim with w's Cin
-    for dy in range(3):
-        for dx in range(3):
+    for dy in range(KH):
+        for dx in range(KW):
             xs = jax.lax.slice(
                 x_pad,
                 (0, dy * d, dx * d, 0),
-                (B, dy * d + H, dx * d + W, Cin),
+                (B, dy * d + s * (Ho - 1) + 1, dx * d + s * (Wo - 1) + 1, Cin),
+                strides=(1, s, s, 1),
             )
             acc = acc + jax.lax.dot_general(
                 xs, w_i8[dy, dx], dn, preferred_element_type=jnp.int32
             )
     return acc
+
+
+def conv3x3_int8(
+    x_i8: jax.Array, w_i8: jax.Array, dilation: int = 1, impl: str = None
+) -> jax.Array:
+    """Stride-1 3x3 wrapper over :func:`conv_int8` (the detector stem)."""
+    return conv_int8(x_i8, w_i8, stride=1, dilation=dilation, impl=impl)
 
 
 def _group_norm(x: jax.Array, scale: jax.Array, bias: jax.Array) -> jax.Array:

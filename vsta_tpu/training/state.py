@@ -130,12 +130,13 @@ def make_train_step(cfg: Config):
     return train_step
 
 
-def make_eval_step(cfg: Config, quant_head=None):
+def make_eval_step(cfg: Config, quant_head=None, quant_encoder=None):
     """Returns eval_step(state, batch) -> dict with decoded detections
     (padded/masked) + raw heads, all on device.
 
-    ``quant_head``: int8 detector params (vsta_tpu.ops.quant) - the eval
-    then scores the quantized serving path instead of the float head."""
+    ``quant_head``/``quant_encoder``: int8 serving params
+    (vsta_tpu.ops.quant / quant_resnet) - the eval then scores the
+    quantized serving path instead of the float stage."""
     e = cfg.eval
     m = cfg.model
 
@@ -145,7 +146,7 @@ def make_eval_step(cfg: Config, quant_head=None):
             variables["batch_stats"] = state.batch_stats
         out = state.apply_fn(
             variables, batch["images"], batch["K"], batch["Rt"], train=False,
-            quant_head=quant_head,
+            quant_head=quant_head, quant_encoder=quant_encoder,
         )
         det = decode_detections(
             out["heatmap"],
