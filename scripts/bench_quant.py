@@ -48,18 +48,31 @@ def main():
     K = jnp.asarray(np.broadcast_to(np.stack(Ks), (B, V, 3, 3)), jnp.float32)
     Rt = jnp.asarray(np.broadcast_to(np.stack(Rts), (B, V, 4, 4)), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), images, K, Rt, train=False)
-    qp = calibrate_quant_head(cfg, variables, [(images, K, Rt)])
+    qe = None
+    if cfg.model.backbone.startswith("resnet"):
+        from vsta_tpu.export import calibrate_quant_encoder
+
+        qe = calibrate_quant_encoder(cfg, variables, [(images, K, Rt)])
+    qp = calibrate_quant_head(cfg, variables, [(images, K, Rt)], quant_encoder=qe)
 
     from vsta_tpu.ops import quant as quant_mod
 
     impls = ["dots", "conv"] if args.conv_impl == "both" else [args.conv_impl]
-    runs = [("float", None, None)] + [(f"int8-{i}", qp, i) for i in impls]
-    for label, quant, conv_impl in runs:
+    runs = [("float", None, None, None)]
+    for i in impls:
+        runs.append((f"int8-head-{i}", qp, None, i))
+        if qe is not None:
+            runs.append((f"int8-encoder-{i}", None, qe, i))
+            runs.append((f"int8-both-{i}", qp, qe, i))
+    for label, quant, enc, conv_impl in runs:
         if conv_impl is not None:
             quant_mod.CONV_IMPL = conv_impl
-        fps = forward_decode_fps(cfg, model, variables, images, K, Rt, quant_head=quant)
+        fps = forward_decode_fps(
+            cfg, model, variables, images, K, Rt,
+            quant_head=quant, quant_encoder=enc,
+        )
         print(json.dumps({
-            "head": label,
+            "mode": label,
             "batch": B,
             "fwd_decode_fps": round(fps, 1),
             "ms_per_batch": round(1000.0 * B / fps, 2),

@@ -53,7 +53,9 @@ def chained_slope_time(
     return (timed(n_hi) - timed(n_lo)) / (n_hi - n_lo)
 
 
-def forward_decode_fps(cfg, model, variables, images, K, Rt, quant_head=None):
+def forward_decode_fps(
+    cfg, model, variables, images, K, Rt, quant_head=None, quant_encoder=None
+):
     """frames/sec of the full forward+decode program (the bench headline
     shape) for a constructed model + inputs."""
     import jax.numpy as jnp
@@ -62,7 +64,8 @@ def forward_decode_fps(cfg, model, variables, images, K, Rt, quant_head=None):
 
     def step_scalar(images, K, Rt):
         out = model.apply(
-            variables, images, K, Rt, train=False, quant_head=quant_head
+            variables, images, K, Rt, train=False,
+            quant_head=quant_head, quant_encoder=quant_encoder,
         )
         det = decode_detections(
             out["heatmap"],
