@@ -21,4 +21,4 @@ Design stance (TPU-first, not a port):
   * scaling via ``jax.sharding.Mesh`` (data x view axes) with XLA collectives.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
