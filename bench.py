@@ -14,9 +14,10 @@ Stages (VERDICT round 2, item 1: driver-proof ordering):
   2. compiled-kernel parity canary (grouped sampler + resident warp vs
      the XLA path on tiny shapes) - every driver bench run doubles as
      compiled-kernel validation;
-  3. train fps/chip, deformable-train fps/chip, input-included fps -
-     each gated on a wall-clock budget (VSTA_BENCH_BUDGET seconds,
-     default 900) and its JSON line printed the moment it completes.
+  3. train fps/chip, deformable-train fps/chip, int8-serving fps,
+     input-included fps - each gated on a wall-clock budget
+     (VSTA_BENCH_BUDGET seconds, default 900) and its JSON line printed
+     the moment it completes.
 The combined headline (with extras) is printed again LAST so a tail
 parser still picks up the richest line when the run completes.
 
@@ -54,6 +55,7 @@ def _remaining() -> float:
 
 
 _HEADLINE_EMITTED = False
+_DONE = False  # all intended lines emitted; watchdog must not exit(3)
 
 
 def _emit(obj) -> None:
@@ -130,6 +132,15 @@ def _start_watchdog(grace: float = 30.0) -> None:
         delay = _remaining() + grace
         if delay > 0:
             time.sleep(delay)
+        if _DONE:
+            # every intended line is already on stdout (e.g. only the
+            # trailing live reference-CPU rerun overran the budget): a
+            # complete, valid artifact must not be classified as a
+            # failed run by exit-code-gating drivers (advisor round 3)
+            print("[bench] watchdog: budget exceeded after completion; "
+                  "exiting 0", file=sys.stderr, flush=True)
+            sys.stdout.flush()
+            os._exit(0)
         if not _HEADLINE_EMITTED:
             line = {"metric": "wildtrack_e2e_frames_per_sec", "value": 0.0,
                     "unit": "frames/s/chip", "vs_baseline": 0.0,
@@ -279,26 +290,37 @@ def bench_kernel_canary():
         jnp.max(jnp.abs(got_r.astype(jnp.float32) - jnp.sum(ref, axis=0)))
     )  # resident kernel returns the view-sum [N, K]
 
+    # windowed kernel family: exactly the forms that engage when the
+    # resident VMEM budget is exceeded (e.g. batch 24+), previously only
+    # covered by tpu-marked pytest the driver never runs (VERDICT r3)
+    from vsta_tpu.ops.warp_pallas import scatter_taps_windowed, warp_tiles_windowed
+
+    got_w = warp_tiles_windowed(feats, idx4, wts, compute_dtype=jnp.float32)
+    err_w = float(jnp.max(jnp.abs(got_w - jnp.sum(ref, axis=0))))
+
+    gout = jnp.asarray(rng.standard_normal((V, N, K)), jnp.float32)
+    contrib = wts[..., None] * gout[:, :, None, :]
+    ref_dmap = (
+        jnp.zeros((V, P, K)).at[jnp.arange(V)[:, None, None], idx4, :].add(contrib)
+    )
+    ref_dwts = jnp.einsum(
+        "vnkc,vnc->vnk", taps, gout, precision=jax.lax.Precision.HIGHEST
+    )
+    dmap_w = scatter_taps_windowed(gout, idx4, wts, P, compute_dtype=jnp.float32)
+    err_sw = float(jnp.max(jnp.abs(dmap_w - ref_dmap)))
+
     # fused backward kernel (dfeats scatter + d_wts tap dots in one pass)
     from vsta_tpu.ops.warp_pallas import scatter_tapdot_grouped
 
-    gout = jnp.asarray(rng.standard_normal((V, N, K)), jnp.float32)
     fused = scatter_tapdot_grouped(feats, gout, idx4, wts, compute_dtype=jnp.float32)
     err_b = float("inf")
     if fused is not None:
         dmap, dwts = fused
-        contrib = wts[..., None] * gout[:, :, None, :]
-        ref_dmap = (
-            jnp.zeros((V, P, K)).at[jnp.arange(V)[:, None, None], idx4, :].add(contrib)
-        )
-        ref_dwts = jnp.einsum(
-            "vnkc,vnc->vnk", taps, gout, precision=jax.lax.Precision.HIGHEST
-        )
         err_b = max(
             float(jnp.max(jnp.abs(dmap - ref_dmap))),
             float(jnp.max(jnp.abs(dwts - ref_dwts))),
         )
-    max_err = max(err_g, err_r, err_b)
+    max_err = max(err_g, err_r, err_w, err_sw, err_b)
     return max_err < 1e-3, max_err
 
 
@@ -354,6 +376,38 @@ def bench_train_tpu(config="configs/wildtrack.yaml", batch=None):
     float(run_n(jnp.int32(1), state, batch))  # compile once
     dt = (timed(TRAIN_N_HI) - timed(TRAIN_N_LO)) / (TRAIN_N_HI - TRAIN_N_LO)
     return B / max(dt, 1e-9)
+
+
+def bench_int8():
+    """int8-detector-stem forward+decode fps at the headline shapes
+    (ops/quant.py PTQ), directly comparable to the float headline - the
+    int8 path's speed had never been captured in a driver artifact
+    (VERDICT round 3, item 2)."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from vsta_tpu.config import load_config
+    from vsta_tpu.data.synthetic import make_ring_camera
+    from vsta_tpu.export import calibrate_quant_head
+    from vsta_tpu.models import BEVNet
+    from vsta_tpu.utils.timing import forward_decode_fps
+
+    cfg = load_config("configs/wildtrack.yaml")
+    model = BEVNet.from_config(cfg)
+    B, V = BATCH, cfg.data.views
+    H, W = cfg.data.img_size
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.standard_normal((B, V, H, W, 3)), jnp.float32)
+    Ks, Rts = zip(*(make_ring_camera(v, V, img_hw=(H, W)) for v in range(V)))
+    K = jnp.asarray(np.broadcast_to(np.stack(Ks), (B, V, 3, 3)), jnp.float32)
+    Rt = jnp.asarray(np.broadcast_to(np.stack(Rts), (B, V, 4, 4)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), images, K, Rt, train=False)
+    qp = calibrate_quant_head(cfg, variables, [(images, K, Rt)])
+    fps = forward_decode_fps(
+        cfg, model, variables, images, K, Rt, quant_head=qp,
+        n_lo=N_LO, n_hi=N_HI, repeat=N_REPEAT,
+    )
+    return fps, qp["impl"]
 
 
 def bench_pipeline_tpu():
@@ -501,12 +555,27 @@ def _retry(fn, label, attempts=3, sleep_s=5):
 def main():
     _start_watchdog()
     cpu_fallback = False
-    if os.environ.get("VSTA_BENCH_SKIP_PROBE") != "1" and not _probe_accelerator():
-        cpu_fallback = True
-        _enter_cpu_fallback()
-        print("[bench] accelerator unreachable; measuring on the CPU "
-              "backend (tiny shapes) so the artifact still carries a real "
-              "number", file=sys.stderr)
+    if os.environ.get("VSTA_BENCH_SKIP_PROBE") != "1":
+        # a healthy-but-cold TPU (loaded rig, first compile > one probe
+        # timeout) must not be irreversibly demoted to cpu-fallback on a
+        # single shot: keep re-probing while there is still enough budget
+        # left for the fallback measurement itself (VERDICT round 3)
+        ok = _probe_accelerator()
+        while not ok and _remaining() > 600:
+            t0 = time.monotonic()
+            print(f"[bench] re-probing accelerator "
+                  f"({_remaining():.0f}s budget left)", file=sys.stderr)
+            ok = _probe_accelerator()
+            # a probe that fails FAST (e.g. ambient backend is cpu) must
+            # not spin subprocesses for 10 minutes: pace retries to ~60s
+            if not ok:
+                time.sleep(max(0.0, 60.0 - (time.monotonic() - t0)))
+        if not ok:
+            cpu_fallback = True
+            _enter_cpu_fallback()
+            print("[bench] accelerator unreachable; measuring on the CPU "
+                  "backend (tiny shapes) so the artifact still carries a "
+                  "real number", file=sys.stderr)
     res = _retry(bench_tpu, "inference")
     if res is None:
         _emit({"metric": "wildtrack_e2e_frames_per_sec", "value": 0.0,
@@ -572,6 +641,18 @@ def main():
                 "value": round(deform_fps, 3), "unit": "frames/s/chip",
             }, deform_fps)
 
+    if not fast and _remaining() > 180:
+        int8 = _retry(bench_int8, "int8-inference", attempts=1)
+        if int8 is not None:
+            int8_fps, impl = int8
+            extras["int8_fps"] = round(int8_fps, 3)
+            extras["int8_conv_impl"] = impl
+            _emit_vs({
+                "metric": "wildtrack_int8_frames_per_sec",
+                "value": round(int8_fps, 3), "unit": "frames/s/chip",
+                "conv_impl": impl,
+            }, int8_fps)
+
     if not fast and _remaining() > 300:
         pipe = _retry(bench_pipeline_tpu, "input-pipeline", attempts=1)
         if pipe is not None:
@@ -584,6 +665,22 @@ def main():
                 "cold_fps": round(fps_cold, 3),
             }, fps_warm)
 
+    def _final_headline():
+        _emit({
+            "metric": "wildtrack_e2e_frames_per_sec",
+            "value": round(tpu_fps, 3),
+            "unit": "frames/s/chip",
+            "vs_baseline": round(tpu_fps / max(1e-9, ref_fps), 2),
+            **extras,
+        })
+
+    # combined headline (first line + extras) BEFORE the trailing live
+    # reference rerun, then mark the artifact complete: if the rerun
+    # overruns the budget, the watchdog exits 0 with everything emitted
+    _final_headline()
+    global _DONE
+    _DONE = True
+
     if _remaining() > 45:
         live = bench_reference_cpu()
         if live and live > ref_fps:
@@ -593,16 +690,7 @@ def main():
             ref_fps = live
             for line, numerator in vs_lines:
                 _emit(dict(line, vs_baseline=round(numerator / ref_fps, 2)))
-
-    # final combined headline (duplicate of the first line + extras): the
-    # tail parser picks up whichever printed last
-    _emit({
-        "metric": "wildtrack_e2e_frames_per_sec",
-        "value": round(tpu_fps, 3),
-        "unit": "frames/s/chip",
-        "vs_baseline": round(tpu_fps / max(1e-9, ref_fps), 2),
-        **extras,
-    })
+            _final_headline()
 
 
 if __name__ == "__main__":

@@ -55,18 +55,17 @@ def main():
         qe = calibrate_quant_encoder(cfg, variables, [(images, K, Rt)])
     qp = calibrate_quant_head(cfg, variables, [(images, K, Rt)], quant_encoder=qe)
 
-    from vsta_tpu.ops import quant as quant_mod
-
     impls = ["dots", "conv"] if args.conv_impl == "both" else [args.conv_impl]
-    runs = [("float", None, None, None)]
+    runs = [("float", None, None)]
     for i in impls:
-        runs.append((f"int8-head-{i}", qp, None, i))
+        # the lowering choice lives IN the quant pytree (captured at
+        # quantize time; ops/quant.py): rebuild the dict per impl so each
+        # run traces the lowering it claims to measure
+        runs.append((f"int8-head-{i}", dict(qp, impl=i), None))
         if qe is not None:
-            runs.append((f"int8-encoder-{i}", None, qe, i))
-            runs.append((f"int8-both-{i}", qp, qe, i))
-    for label, quant, enc, conv_impl in runs:
-        if conv_impl is not None:
-            quant_mod.CONV_IMPL = conv_impl
+            runs.append((f"int8-encoder-{i}", None, dict(qe, impl=i)))
+            runs.append((f"int8-both-{i}", dict(qp, impl=i), dict(qe, impl=i)))
+    for label, quant, enc in runs:
         fps = forward_decode_fps(
             cfg, model, variables, images, K, Rt,
             quant_head=quant, quant_encoder=enc,

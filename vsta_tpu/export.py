@@ -82,7 +82,8 @@ def build_serving_fn(
 
 
 def calibrate_quant_head(
-    cfg: Config, variables, batches: Sequence[tuple], quant_encoder=None
+    cfg: Config, variables, batches: Sequence[tuple], quant_encoder=None,
+    conv_impl: str = None,
 ) -> Dict:
     """Build int8 head params from representative batches.
 
@@ -104,10 +105,14 @@ def calibrate_quant_head(
         )["bev_feat"]
     )
     feats = [fwd(images, K, Rt) for images, K, Rt in batches]
-    return quantize_head(variables["params"]["detector"], feats)
+    return quantize_head(
+        variables["params"]["detector"], feats, conv_impl=conv_impl
+    )
 
 
-def calibrate_quant_encoder(cfg: Config, variables, batches: Sequence[tuple]) -> Dict:
+def calibrate_quant_encoder(
+    cfg: Config, variables, batches: Sequence[tuple], conv_impl: str = None
+) -> Dict:
     """Build int8 ResNet-encoder params from representative batches.
 
     Same contract as :func:`calibrate_quant_head`. Supports the resnet
@@ -142,6 +147,7 @@ def calibrate_quant_encoder(cfg: Config, variables, batches: Sequence[tuple]) ->
         imgs,
         cfg.model.out_index,
         fold,
+        conv_impl=conv_impl,
     )
 
 

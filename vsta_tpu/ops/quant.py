@@ -54,15 +54,19 @@ def quantize_act(x: jax.Array, scale: jax.Array) -> jax.Array:
     return jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
 
 
-# How conv3x3_int8 lowers, swappable for the on-TPU measurement
-# (scripts/bench_quant.py --conv-impl):
+# Default lowering for conv3x3_int8 (scripts/bench_quant.py --conv-impl
+# measures both):
 #   'dots' - nine shifted-slice s8xs8->s32 dot_generals. Dots reliably
 #     hit the MXU int8 path, but each dot re-reads the padded input from
 #     HBM (~9x traffic: matters for the 512-channel stem1 input).
 #   'conv' - one native lax.conv_general_dilated(s8, s8)->s32. Reads the
 #     input once; wins IF XLA:TPU lowers s8 convolutions at the int8 MXU
 #     rate instead of silently upcasting.
-# Both are exact integer math (the unit test pins them equal).
+# Both are exact integer math (the unit test pins them equal). The
+# lowering actually used at serving time is CAPTURED into the quant
+# pytree at quantize_* time (qparams['impl']) - a module global read at
+# trace time would not retrace already-jitted serving functions when
+# flipped, and is not thread-safe (advisor round 3).
 CONV_IMPL = "dots"
 
 
@@ -174,6 +178,7 @@ def quantize_head(
     det_params: Dict,
     calib_feats: Sequence[jax.Array],
     clip_percentile: float = 99.99,
+    conv_impl: str = None,
 ) -> Dict:
     """Build int8 serving params for the detector head.
 
@@ -185,7 +190,9 @@ def quantize_head(
 
     Returns a pytree closable into a jitted serving function:
     ``{'stems': [{w_i8, w_scale, x_scale, gn_scale, gn_bias} x3],
-    'out': {name: {kernel, bias} for the three float output convs}}``.
+    'out': {name: {kernel, bias} for the three float output convs},
+    'impl': the conv lowering ('dots'|'conv', captured here so a jitted
+    serving function can never silently mix lowerings)}``.
     """
     assert len(calib_feats) > 0, "need at least one calibration batch"
     names = _stem_names()
@@ -228,15 +235,16 @@ def quantize_head(
         }
         for name in ("heatmap_head", "offset_head", "size_head")
     }
-    return {"stems": stems, "out": out}
+    return {"stems": stems, "out": out, "impl": conv_impl or CONV_IMPL}
 
 
 def apply_quant_head(qparams: Dict, bev_feat: jax.Array) -> Dict[str, jax.Array]:
     """int8-stem twin of ``BEVDetectorHead.__call__`` (same output dict)."""
+    impl = qparams.get("impl")  # captured at quantize_head time
     x = bev_feat.astype(jnp.float32)
     for i, qs in enumerate(qparams["stems"]):
         x_i8 = quantize_act(x, qs["x_scale"])
-        y = conv3x3_int8(x_i8, qs["w_i8"], dilation=_STEM_DILATIONS[i])
+        y = conv3x3_int8(x_i8, qs["w_i8"], dilation=_STEM_DILATIONS[i], impl=impl)
         # dequantize: one fused elementwise rescale into the GroupNorm
         y = y.astype(jnp.float32) * (qs["x_scale"] * qs["w_scale"])
         y = _group_norm(y, qs["gn_scale"], qs["gn_bias"])

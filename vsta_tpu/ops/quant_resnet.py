@@ -133,6 +133,7 @@ def quantize_encoder(
     out_index: Any,
     fold_proj: bool,
     clip_percentile: float = 99.99,
+    conv_impl: str = None,
 ) -> Dict:
     """Build int8 serving params for the ViewEncoder.
 
@@ -185,6 +186,9 @@ def quantize_encoder(
         },
         "out_index": out_index,
         "fold_proj": bool(fold_proj),
+        # conv lowering captured at quantize time (see quant.CONV_IMPL):
+        # trace-time reads of a mutable module global would not retrace
+        "impl": conv_impl or CONV_IMPL,
     }
 
 
@@ -195,7 +199,7 @@ def apply_quant_encoder(qe: Dict, images: jax.Array, impl: str = None):
     (feat_raw, proj_kernel, proj_bias) when the encoder was exported
     with fold_proj (the concat families fold the 1x1 proj into the warp).
     """
-    impl = impl or CONV_IMPL
+    impl = impl or qe.get("impl") or CONV_IMPL
     B, V, H, W, C = images.shape
     x = images.reshape(B * V, H, W, C)
     sites = qe["sites"]

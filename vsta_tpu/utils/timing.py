@@ -54,7 +54,8 @@ def chained_slope_time(
 
 
 def forward_decode_fps(
-    cfg, model, variables, images, K, Rt, quant_head=None, quant_encoder=None
+    cfg, model, variables, images, K, Rt, quant_head=None, quant_encoder=None,
+    n_lo: int = N_LO, n_hi: int = N_HI, repeat: int = N_REPEAT,
 ):
     """frames/sec of the full forward+decode program (the bench headline
     shape) for a constructed model + inputs."""
@@ -82,5 +83,7 @@ def forward_decode_fps(
             + jnp.sum(out["heatmap"])
         )
 
-    dt = chained_slope_time(step_scalar, images, K, Rt)
+    dt = chained_slope_time(
+        step_scalar, images, K, Rt, n_lo=n_lo, n_hi=n_hi, repeat=repeat
+    )
     return images.shape[0] / max(dt, 1e-9)
