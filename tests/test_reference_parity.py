@@ -161,3 +161,163 @@ def test_offset_size_parity(parity_pair):
     np.testing.assert_allclose(
         _nchw(out["size"]) / scale, ref_size / scale, atol=1e-4
     )
+
+
+# ---------------------------------------------------------------------------
+# trained-checkpoint migration (VERDICT r3 item 3): the converter must
+# round-trip a checkpoint the reference actually TRAINED and SAVED, not
+# just random init - torch.save/{'state_dict': ...}/torch.load is the
+# exact surface a migrating user hands us (ref inference.py:29-31,
+# train.py:338).
+# ---------------------------------------------------------------------------
+
+CONF = 0.05  # low threshold so a 20-step model still yields detections
+
+
+@pytest.fixture(scope="module")
+def trained_parity_pair(cameras_module, tmp_path_factory):
+    """Train the torch reference ~20 real optimizer steps (its own
+    focal/L1 loss, Adam), save/reload its checkpoint format, convert,
+    and run both models eval-mode on held-out inputs."""
+    Ks, Rts = cameras_module
+    rng = np.random.default_rng(11)
+    train_images = rng.standard_normal((B, V, 3, H, W)).astype(np.float32)
+    eval_images = rng.standard_normal((B, V, 3, H, W)).astype(np.float32)
+
+    cfg = _ref_cfg()
+    cfg["EVAL"]["CONF_THRESH"] = CONF
+    torch.manual_seed(1)
+    ref = RefBEVNet(cfg)
+
+    def make_batch(imgs):
+        return {
+            "images": torch.from_numpy(imgs),
+            "calib": {
+                "intrinsic": [
+                    [torch.tensor(Ks[v], dtype=torch.float32) for v in range(V)]
+                    for _ in range(B)
+                ],
+                "extrinsic": [
+                    [torch.tensor(Rts[v], dtype=torch.float32) for v in range(V)]
+                    for _ in range(B)
+                ],
+            },
+        }
+
+    # real training targets: two people per sample at fixed world spots
+    targets = [
+        {
+            "boxes_world": torch.tensor(
+                [[-2.0 + b, 1.0, 0.6, 0.6], [3.0, -1.5 + b, 0.6, 0.6]],
+                dtype=torch.float32,
+            )
+        }
+        for b in range(B)
+    ]
+    ref.train()
+    batch = make_batch(train_images)
+    ref(batch)  # lazy-builds proj + detector so the optimizer sees them
+    opt = torch.optim.Adam(ref.parameters(), lr=1e-3)
+    for _ in range(20):
+        opt.zero_grad(set_to_none=True)
+        preds = ref(batch)
+        loss = ref.loss(preds, targets, cfg["LOSS"])["total_loss"]
+        loss.backward()
+        opt.step()
+
+    # the reference's exact checkpoint surface (train.py:338)
+    ckpt_path = tmp_path_factory.mktemp("refckpt") / "best.pth"
+    torch.save(
+        {"epoch": 20, "state_dict": ref.state_dict(), "f1": 0.0}, ckpt_path
+    )
+    loaded = torch.load(ckpt_path, map_location="cpu")
+    ref2 = RefBEVNet(cfg)
+    ref2(make_batch(eval_images))  # lazy-build before load_state_dict
+    ref2.load_state_dict(loaded["state_dict"], strict=False)
+    ref2.eval()
+    with torch.no_grad():
+        ref_out = ref2(make_batch(eval_images))
+    sd = {k: v.numpy() for k, v in loaded["state_dict"].items()}
+
+    model = BEVNet(
+        backbone="simple",
+        feat_dim=FEAT_DIM,
+        out_index=2,
+        views=V,
+        bev_size=(BEV_H, BEV_W),
+        bev_bounds=BOUNDS,
+        bev_proj_ch=PROJ_CH,
+        warp_impl="fused",
+        fusion="concat",
+        static_cameras=True,
+        dtype=jnp.float32,
+    )
+    imgs_j = jnp.asarray(np.transpose(eval_images, (0, 1, 3, 4, 2)))
+    K = jnp.broadcast_to(jnp.asarray(np.stack(Ks[:V]), jnp.float32)[None], (B, V, 3, 3))
+    Rt = jnp.broadcast_to(jnp.asarray(np.stack(Rts[:V]), jnp.float32)[None], (B, V, 4, 4))
+    variables = model.init(jax.random.PRNGKey(0), imgs_j, K, Rt, train=False)
+    variables, n_loaded = load_reference_weights(
+        variables, sd, views=V, feat_dim=FEAT_DIM
+    )
+    assert n_loaded >= 20, f"converter only mapped {n_loaded} trained tensors"
+    out = model.apply(variables, imgs_j, K, Rt, train=False)
+    return ref_out, out
+
+
+def test_trained_heatmap_parity(trained_parity_pair):
+    """20 trained steps later, converted heads still match end to end -
+    a converter that mishandles ANY trained-weight key fails here."""
+    ref_out, out = trained_parity_pair
+    ref_hm = ref_out["heatmap"].numpy()
+    got = _nchw(out["heatmap"][..., None] if out["heatmap"].ndim == 3 else out["heatmap"])
+    np.testing.assert_allclose(got, ref_hm, atol=1e-4)
+    # trained weights must actually differ from init: a converter that
+    # silently skips every key would pass parity on two init models
+    assert float(np.abs(ref_hm - 0.1).max()) > 0.05, (
+        "heatmap still at CenterNet init prior - did training happen?"
+    )
+
+
+def test_trained_offset_size_parity(trained_parity_pair):
+    ref_out, out = trained_parity_pair
+    np.testing.assert_allclose(
+        _nchw(out["offset"]), ref_out["offset"].numpy(), atol=1e-4
+    )
+    ref_size = ref_out["size"].numpy()
+    scale = np.abs(ref_size).max() + 1e-6
+    np.testing.assert_allclose(
+        _nchw(out["size"]) / scale, ref_size / scale, atol=1e-4
+    )
+
+
+def test_trained_decode_match(trained_parity_pair):
+    """Decoded world-space detections agree frame by frame (count,
+    centers, scores) between the migrated model and the reference."""
+    from vsta_tpu.ops.decode import decode_detections
+
+    ref_out, out = trained_parity_pair
+    dec = decode_detections(
+        out["heatmap"][..., None] if out["heatmap"].ndim == 3 else out["heatmap"],
+        out["offset"],
+        out["size"],
+        bounds=BOUNDS,
+        conf_thresh=CONF,
+        nms_dist_m=0.5,
+        max_dets=64,
+    )
+    total = 0
+    for b in range(B):
+        ref_boxes = ref_out["boxes"][b].numpy()
+        ref_scores = ref_out["scores"][b].numpy()
+        valid = np.asarray(dec["valid"][b])
+        boxes = np.asarray(dec["boxes"][b])[valid]
+        scores = np.asarray(dec["scores"][b])[valid]
+        assert boxes.shape[0] == ref_boxes.shape[0], (
+            f"frame {b}: {boxes.shape[0]} dets vs reference {ref_boxes.shape[0]}"
+        )
+        # both are score-descending after the same greedy NMS
+        order = np.argsort(-ref_scores, kind="stable")
+        np.testing.assert_allclose(boxes, ref_boxes[order], atol=1e-3)
+        np.testing.assert_allclose(scores, ref_scores[order], atol=1e-3)
+        total += boxes.shape[0]
+    assert total > 0, "no detections decoded - the comparison is vacuous"

@@ -119,6 +119,58 @@ def test_gradient_accumulation_matches_semantics():
     assert diff2 > 0.0
 
 
+def test_gradient_accumulation_equivalence():
+    """Behavioral semantics (ref train.py:242-255): accum_steps=2 at
+    batch B/2 must produce the SAME parameters as accum_steps=1 at batch
+    B after the same number of optimizer updates. Holds exactly here
+    because every sample carries the same positive count, so the
+    batch-normalized CenterNet loss satisfies
+    loss(B) = (loss(h1) + loss(h2)) / 2 and MultiSteps averages the
+    accumulated grads ('simple' backbone: no BatchNorm stats to drift)."""
+    import dataclasses
+
+    base = tiny_cfg()
+    cfg_full = dataclasses.replace(
+        base,
+        data=dataclasses.replace(base.data, batch_size=4),
+        train=TrainConfig(epochs=2, lr=1e-3, accum_steps=1),
+    )
+    cfg_half = dataclasses.replace(
+        base,
+        data=dataclasses.replace(base.data, batch_size=2),
+        train=TrainConfig(epochs=2, lr=1e-3, accum_steps=2),
+    )
+
+    full_batches = [make_batch(cfg_full, seed=s) for s in (0, 1)]
+
+    def halves(batch):
+        for lo in (0, 2):
+            yield {k: v[lo:lo + 2] for k, v in batch.items()}
+
+    tx = build_optimizer(cfg_full, steps_per_epoch=10)
+    state_f = create_state(cfg_full, tx, jax.random.PRNGKey(0))
+    step_f = jax.jit(make_train_step(cfg_full))
+    for b in full_batches:
+        state_f, _ = step_f(state_f, b)
+
+    tx = build_optimizer(cfg_half, steps_per_epoch=10)
+    state_h = create_state(cfg_half, tx, jax.random.PRNGKey(0))
+    step_h = jax.jit(make_train_step(cfg_half))
+    for b in full_batches:
+        for h in halves(b):
+            state_h, _ = step_h(state_h, h)
+
+    diffs = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        state_f.params,
+        state_h.params,
+    )
+    assert max(jax.tree.leaves(diffs)) < 1e-5, (
+        "accum=2 @ B/2 diverged from accum=1 @ B: "
+        f"max param delta {max(jax.tree.leaves(diffs)):.2e}"
+    )
+
+
 def test_train_step_deform_fused_backward_matches_xla():
     """A full deform_attn train step through the fused grouped backward
     kernel (scatter_tapdot_grouped, interpret mode) produces the same
