@@ -81,7 +81,7 @@ def main():
 
     dl = make_dl()
 
-    state = create_state(cfg, build_optimizer(cfg, 1), jax.random.PRNGKey(0))
+    state = create_state(cfg, build_optimizer(cfg, 1), jax.random.PRNGKey(0), mesh=mesh)
     ckpt_path = Path(args.checkpoint)
     ckpt = CheckpointManager(str(ckpt_path.parent))
     state, epoch, f1 = ckpt.restore(ckpt_path.name, state)

@@ -144,7 +144,7 @@ def run_tracking_eval(cfg, work: Path, val_idx):
         cfg.runtime.mesh_data, cfg.runtime.mesh_view,
         batch_size=cfg.data.batch_size, views=cfg.data.views,
     )
-    state = create_state(cfg, build_optimizer(cfg, 1), jax.random.PRNGKey(0))
+    state = create_state(cfg, build_optimizer(cfg, 1), jax.random.PRNGKey(0), mesh=mesh)
     ckpt = CheckpointManager(str(work / cfg.runtime.save_dir))
     name = "best" if ckpt.exists("best") else "last"
     state, epoch, f1 = ckpt.restore(name, state)

@@ -28,7 +28,7 @@ def _run_steps(cfg, mesh, n=3):
     batch = {k: np.asarray(v) for k, v in make_batch(cfg).items()}
     sharded = shard_batch(batch, mesh)
     tx = build_optimizer(cfg, steps_per_epoch=10)
-    state = create_state(cfg, tx, jax.random.PRNGKey(0))
+    state = create_state(cfg, tx, jax.random.PRNGKey(0), mesh=mesh)
     state = jax.device_put(state, replicate_sharding(mesh))
     step = jax.jit(make_train_step(cfg))
     losses = []
@@ -244,7 +244,7 @@ def test_quant_head_eval_matches_single_device():
     outs = {}
     for label, mesh in (("1x1", make_mesh(1, 1)), ("4x1", make_mesh(4, 1))):
         tx = build_optimizer(cfg, steps_per_epoch=10)
-        state = create_state(cfg, tx, jax.random.PRNGKey(0))
+        state = create_state(cfg, tx, jax.random.PRNGKey(0), mesh=mesh)
         state = jax.device_put(state, replicate_sharding(mesh))
         sharded = shard_batch(batch, mesh)
         step = jax.jit(make_eval_step(cfg, quant_head=qp))

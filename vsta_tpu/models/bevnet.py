@@ -84,11 +84,20 @@ class BEVNet(nn.Module):
     mesh: Any = None
 
     @classmethod
-    def from_config(cls, cfg: Config) -> "BEVNet":
-        from ..parallel.mesh import get_active_mesh
+    def from_config(cls, cfg: Config, mesh: Any = None) -> "BEVNet":
+        """Build from a typed Config. Pass the device mesh explicitly
+        (``mesh=``, from ``parallel.make_mesh``); ``mesh=ACTIVE``
+        (parallel.mesh.ACTIVE) consults the process active-mesh registry
+        instead - the documented fallback for call sites that cannot
+        thread a mesh through (advisor round 3: an ambient registry read
+        here let an unrelated mesh change warp dispatch)."""
+        from ..parallel.mesh import ACTIVE, get_active_mesh
+
+        if mesh is ACTIVE:
+            mesh = get_active_mesh()
 
         return cls(
-            mesh=get_active_mesh(),
+            mesh=mesh,
             backbone=cfg.model.backbone,
             feat_dim=cfg.model.feat_dim,
             out_index=cfg.model.out_index,

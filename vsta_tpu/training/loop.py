@@ -110,7 +110,7 @@ def run_training(
 
     steps_per_epoch = max(1, len(dl_train))
     tx = build_optimizer(cfg, steps_per_epoch)
-    state = create_state(cfg, tx, jax.random.PRNGKey(cfg.train.seed))
+    state = create_state(cfg, tx, jax.random.PRNGKey(cfg.train.seed), mesh=mesh)
     n_params = sum(x.size for x in jax.tree.leaves(state.params))
     print(f"[model] {cfg.model.backbone} | {n_params/1e6:.2f} M params")
 

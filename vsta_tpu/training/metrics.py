@@ -3,7 +3,16 @@
 Implements the reference's greedy center-distance matching P/R/F1/MLE
 (reference: project/train.py:78-104) plus real MODA/MODP, which the
 reference names as its target metrics but never implements
-(README.md:70; SURVEY.md section 5). Also fixes the reference's
+(README.md:70; SURVEY.md section 5).
+
+MODP definition: this is the DISTANCE-BASED point-detection variant,
+``mean(1 - d / match_dist)`` over matched detections (d = BEV center
+distance in meters, match_dist = 0.5 m) - appropriate for ground-plane
+person points, where boxes are nominal footprints. It is NOT the
+PASCAL-overlap (IoU-based) CLEAR MODP; numbers reported by this
+framework must not be compared against IoU-MODP results.
+
+Also fixes the reference's
 degenerate empty-frame behavior: frames with 0 predictions AND 0 GT
 contribute nothing here instead of P=R=F1=1 (the reference's known bad
 eval mode, outputs/problem_log_20251011.md).
@@ -110,7 +119,8 @@ class DetectionMetrics:
         mle = float(np.mean(self.loc_errors)) if self.loc_errors else 0.0
         # MODA: 1 - (misses + false positives) / total GT (CLEAR-MOT).
         moda = 1.0 - (fn + fp) / max(1, self.n_gt)
-        # MODP: mean matched-detection precision, 1 - d/threshold per TP.
+        # MODP (distance-based variant, NOT PASCAL-overlap): mean matched-
+        # detection precision, 1 - d/match_dist per TP (module docstring).
         if self.loc_errors:
             modp = float(np.mean(1.0 - np.array(self.loc_errors) / self.match_dist))
         else:

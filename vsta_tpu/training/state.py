@@ -43,8 +43,17 @@ class TrainState(struct.PyTreeNode):
         )
 
 
-def create_state(cfg: Config, tx: optax.GradientTransformation, rng: jax.Array) -> TrainState:
-    model = BEVNet.from_config(cfg)
+def create_state(
+    cfg: Config,
+    tx: optax.GradientTransformation,
+    rng: jax.Array,
+    mesh: Any = None,
+) -> TrainState:
+    """``mesh``: the device mesh the model will run under (threaded into
+    ``BEVNet.from_config`` so warp dispatch is pinned at construction,
+    not read from an ambient registry - advisor round 3). None =
+    single-device; ``parallel.mesh.ACTIVE`` = legacy registry fallback."""
+    model = BEVNet.from_config(cfg, mesh=mesh)
     B, V = cfg.data.batch_size, cfg.data.views
     H, W = cfg.data.img_size
     dummy = {
