@@ -78,8 +78,19 @@ def main():
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
+        # calibrate activation scales on the TRAIN split, never on the
+        # split being scored: same-split calibration makes the reported
+        # int8 accuracy mildly optimistic vs deployment (advisor round 3)
+        calib_dl = Prefetcher(
+            ds,
+            idx_train,
+            cfg.data.batch_size,
+            shuffle=False,
+            num_workers=cfg.runtime.num_workers,
+            device_put=lambda b: shard_batch(b, mesh),
+        )
         calib = []
-        for batch in dl:
+        for batch in calib_dl:
             calib.append((batch["images"], batch["K"], batch["Rt"]))
             if len(calib) >= 2:
                 break
@@ -87,16 +98,14 @@ def main():
             from vsta_tpu.export import calibrate_quant_encoder
 
             quant_encoder = calibrate_quant_encoder(cfg, variables, calib)
-            print(f"[quant] int8 encoder calibrated on {len(calib)} batches")
+            print(f"[quant] int8 encoder calibrated on {len(calib)} train-split batches")
         if args.quantize_head:
             from vsta_tpu.export import calibrate_quant_head
 
             quant_head = calibrate_quant_head(
                 cfg, variables, calib, quant_encoder=quant_encoder
             )
-            print(f"[quant] int8 head calibrated on {len(calib)} batches")
-        # the Prefetcher is a one-shot iterator; rebuild it for the pass
-        dl = make_dl()
+            print(f"[quant] int8 head calibrated on {len(calib)} train-split batches")
 
     eval_step = jax.jit(
         make_eval_step(cfg, quant_head=quant_head, quant_encoder=quant_encoder)

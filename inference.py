@@ -105,8 +105,22 @@ def main():
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
+        # calibrate activation scales on the TRAIN split so the scored
+        # frames never calibrate themselves (advisor round 3; export.py
+        # has the same held-in-calibration contract)
+        from vsta_tpu.data.pipeline import split_train_val
+
+        idx_train, _ = split_train_val(len(ds), cfg.train.seed)
+        calib_dl = Prefetcher(
+            ds,
+            idx_train,
+            batch_size,
+            shuffle=False,
+            num_workers=cfg.runtime.num_workers,
+            device_put=lambda b: shard_batch(b, mesh),
+        )
         calib = []
-        for batch in dl:
+        for batch in calib_dl:
             calib.append((batch["images"], batch["K"], batch["Rt"]))
             if len(calib) >= 2:
                 break
@@ -114,15 +128,14 @@ def main():
             from vsta_tpu.export import calibrate_quant_encoder
 
             quant_encoder = calibrate_quant_encoder(cfg, variables, calib)
-            print(f"[quant] int8 encoder calibrated on {len(calib)} batches")
+            print(f"[quant] int8 encoder calibrated on {len(calib)} train-split batches")
         if args.quantize_head:
             from vsta_tpu.export import calibrate_quant_head
 
             quant_head = calibrate_quant_head(
                 cfg, variables, calib, quant_encoder=quant_encoder
             )
-            print(f"[quant] int8 head calibrated on {len(calib)} batches")
-        dl = make_dl()  # the Prefetcher is a one-shot iterator
+            print(f"[quant] int8 head calibrated on {len(calib)} train-split batches")
 
     eval_step = jax.jit(
         make_eval_step(cfg, quant_head=quant_head, quant_encoder=quant_encoder)
