@@ -171,6 +171,89 @@ def test_gradient_accumulation_equivalence():
     )
 
 
+def test_groupnorm_backbone_trains():
+    """MODEL.NORM=group swaps the resnet's BatchNorm for GroupNorm-32:
+    no batch_stats state at all (nothing rides the train step's stat
+    update path), and the model still learns on a fixed batch."""
+    import dataclasses
+
+    cfg = tiny_cfg()
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model, backbone="resnet18", out_index=1, norm="group"
+        ),
+    )
+    tx = build_optimizer(cfg, steps_per_epoch=10)
+    state = create_state(cfg, tx, jax.random.PRNGKey(0))
+    assert not state.batch_stats, "GroupNorm backbone must carry no batch_stats"
+    step = jax.jit(make_train_step(cfg))
+    batch = make_batch(cfg)
+    losses = []
+    for _ in range(15):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["total_loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.9, losses[:: max(1, len(losses) // 5)]
+
+
+def test_freeze_backbone_semantics():
+    """TRAIN.FREEZE_BACKBONE = torch requires_grad=False on the encoder
+    (ref base.py:26-28): backbone params AND BatchNorm running stats
+    must not move, while the head still trains. The stop_gradient at the
+    encoder boundary also lets XLA drop the encoder backward entirely
+    (the optimizer-side zeroing alone still computed it)."""
+    import dataclasses
+
+    cfg = tiny_cfg()
+    cfg = dataclasses.replace(
+        cfg,
+        # resnet18: has BatchNorm, so frozen running stats are observable
+        model=dataclasses.replace(cfg.model, backbone="resnet18", out_index=1),
+        train=TrainConfig(epochs=2, lr=1e-2, accum_steps=1, freeze_backbone=True),
+    )
+    tx = build_optimizer(cfg, steps_per_epoch=10)
+    state = create_state(cfg, tx, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(cfg))
+    batch = make_batch(cfg)
+    p0 = jax.tree.map(np.asarray, state.params)
+    s0 = jax.tree.map(np.asarray, state.batch_stats)
+    for _ in range(2):
+        state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["total_loss"]))
+
+    bb0, bb1 = p0["encoder"]["backbone"], state.params["encoder"]["backbone"]
+    bb_delta = max(
+        jax.tree.leaves(
+            jax.tree.map(lambda a, b: float(np.abs(np.asarray(a) - b).max()), bb1, bb0)
+        )
+    )
+    assert bb_delta == 0.0, f"frozen backbone moved by {bb_delta}"
+    stats_delta = max(
+        jax.tree.leaves(
+            jax.tree.map(
+                lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+                state.batch_stats,
+                s0,
+            )
+        )
+    )
+    assert stats_delta == 0.0, (
+        f"frozen backbone's BN running stats moved by {stats_delta} "
+        "(eval-mode BN must hold them)"
+    )
+    head_delta = max(
+        jax.tree.leaves(
+            jax.tree.map(
+                lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+                state.params["detector"],
+                p0["detector"],
+            )
+        )
+    )
+    assert head_delta > 0.0, "head stopped training under FREEZE_BACKBONE"
+
+
 def test_train_step_deform_fused_backward_matches_xla():
     """A full deform_attn train step through the fused grouped backward
     kernel (scatter_tapdot_grouped, interpret mode) produces the same

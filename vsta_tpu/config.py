@@ -50,6 +50,11 @@ class ModelConfig:
     # the finest selected level and channel-concatenated (multi-scale
     # features, BASELINE configs[1])
     out_index: Union[int, Tuple[int, ...]] = 2
+    # backbone normalization: 'batch' (torch parity, pretrained-loadable)
+    # or 'group' (GroupNorm-32, resnets only: stateless, batch-size
+    # independent, and keeps BN stat updates off the train step's
+    # critical path - see encoders/resnet.py)
+    norm: str = "batch"
     bev_size: Tuple[int, int] = (120, 360)  # (H, W) cells; YAML stores [C,H,W]
     bev_bounds: Tuple[float, float, float, float] = (-24.0, 24.0, -7.2, 7.2)
     bev_proj_ch: int = 128  # channels after fused view-projection
@@ -258,6 +263,7 @@ def from_dict(raw: Dict[str, Any]) -> Config:
         ),
         model=ModelConfig(
             backbone=str(_get(m, "BACKBONE", "resnet18")),
+            norm=str(_get(m, "NORM", "batch")),
             pretrained=bool(_get(m, "PRETRAINED", False)),
             pretrained_path=str(_get(m, "PRETRAINED_PATH", "")),
             feat_dim=int(_get(m, "FEAT_DIM", 64)),
@@ -359,6 +365,7 @@ def to_dict(cfg: Config) -> Dict[str, Any]:
             "PRETRAINED": cfg.model.pretrained,
             "PRETRAINED_PATH": cfg.model.pretrained_path,
             "FEAT_DIM": cfg.model.feat_dim,
+            "NORM": cfg.model.norm,
             "OUT_INDEX": (
                 list(cfg.model.out_index)
                 if isinstance(cfg.model.out_index, tuple)

@@ -61,6 +61,8 @@ class BEVNet(nn.Module):
     """Flax module; construct via ``BEVNet.from_config(cfg)``."""
 
     backbone: str = "resnet18"
+    # backbone normalization: 'batch' | 'group' (MODEL.NORM; resnets only)
+    norm: str = "batch"
     feat_dim: int = 64
     out_index: Any = 2  # int, or tuple of pyramid levels (multi-scale)
     views: int = 7
@@ -76,6 +78,9 @@ class BEVNet(nn.Module):
     attn_points: int = 4
     attn_stride: int = 4
     static_cameras: bool = True
+    # TRAIN.FREEZE_BACKBONE: eval-mode BN + stop_gradient at the encoder
+    # boundary (see __call__) - the torch-equivalent freeze semantics
+    freeze_backbone: bool = False
     dtype: Any = jnp.float32
     # Mesh the model is built to run under (None = single-device). Pinned
     # at construction by from_config so jit caches key on it through
@@ -99,6 +104,7 @@ class BEVNet(nn.Module):
         return cls(
             mesh=mesh,
             backbone=cfg.model.backbone,
+            norm=cfg.model.norm,
             feat_dim=cfg.model.feat_dim,
             out_index=cfg.model.out_index,
             views=cfg.data.views,
@@ -114,6 +120,7 @@ class BEVNet(nn.Module):
             attn_points=cfg.model.attn_points,
             attn_stride=cfg.model.attn_stride,
             static_cameras=cfg.model.static_cameras,
+            freeze_backbone=cfg.train.freeze_backbone,
             dtype=jnp.bfloat16 if cfg.runtime.use_amp else jnp.float32,
         )
 
@@ -174,16 +181,29 @@ class BEVNet(nn.Module):
         else:
             enc_out = ViewEncoder(
                 backbone=self.backbone,
+                norm=self.norm,
                 feat_dim=self.feat_dim,
                 out_index=self.out_index,
                 dtype=self.dtype,
                 fold_proj=fold,
                 name="encoder",
-            )(images, train=train)
+                # frozen backbone = eval-mode BatchNorm (running stats
+                # stop updating), matching torch fine-tuning convention
+            )(images, train=train and not self.freeze_backbone)
         if fold:
             feats, enc_pk, enc_pb = enc_out
         else:
             feats, enc_pk, enc_pb = enc_out, None, None
+        if self.freeze_backbone:
+            # TRAIN.FREEZE_BACKBONE (torch-equivalent of
+            # requires_grad=False on the encoder, ref base.py:26-28): cut
+            # the gradient at the encoder boundary so XLA drops the whole
+            # encoder backward from the train step - the optimizer-side
+            # set_to_zero alone still COMPUTES those grads (grad_norm
+            # consumes them), it just discards the update. The 1x1 proj
+            # (enc_pk/enc_pb) stays trainable, mirroring the optimizer's
+            # ('encoder','backbone') freeze scope (training/optim.py).
+            feats = jax.lax.stop_gradient(feats)
         _, _, Hf, Wf, C = feats.shape
 
         grid = ground_grid(Hb, Wb, self.bev_bounds)

@@ -26,9 +26,17 @@ def build_backbone(
     dtype: Any = jnp.float32,
     module_name: str = "backbone",
     feat_dim: int = 32,
+    norm: str = "batch",
 ) -> nn.Module:
     if name in _RESNET_SPECS:
-        return ResNetFeatures(variant=name, dtype=dtype, name=module_name)
+        return ResNetFeatures(
+            variant=name, dtype=dtype, name=module_name, norm_layer=norm
+        )
+    if norm != "batch":
+        raise ValueError(
+            f"MODEL.NORM={norm!r} is only supported for resnet backbones "
+            f"(got backbone={name!r})"
+        )
     if name.startswith("efficientnet"):
         return EfficientNetFeatures(variant=name, dtype=dtype, name=module_name)
     # the reference's fallback stack is sized by FEAT_DIM directly
@@ -52,6 +60,9 @@ class ViewEncoder(nn.Module):
     # this removes a 23 GFLOP conv and ~1.2 GB of HBM traffic per batch
     # while keeping the parameter tree (and checkpoints) identical.
     fold_proj: bool = False
+    # backbone normalization: 'batch' (torch parity) or 'group' (resnets
+    # only - see ResNetFeatures.norm_layer)
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, images: jax.Array, train: bool = False):
@@ -60,7 +71,9 @@ class ViewEncoder(nn.Module):
         when ``fold_proj``."""
         B, V, H, W, C = images.shape
         x = images.reshape(B * V, H, W, C)
-        pyramid = build_backbone(self.backbone, self.dtype, feat_dim=self.feat_dim)(
+        pyramid = build_backbone(
+            self.backbone, self.dtype, feat_dim=self.feat_dim, norm=self.norm
+        )(
             x, train=train
         )
         idx = (

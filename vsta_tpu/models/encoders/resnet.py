@@ -85,17 +85,28 @@ class ResNetFeatures(nn.Module):
     variant: str = "resnet18"
     width: int = 64
     dtype: Any = jnp.float32
+    # 'batch' (torch parity, convertible from timm/torchvision weights) or
+    # 'group' (GroupNorm-32: batch-independent, no running-stat state or
+    # cross-replica dependence - a train-step lever because BN's stat
+    # updates ride the step's critical path; GN weights have no torch
+    # pretrained counterpart here)
+    norm_layer: str = "batch"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> List[jax.Array]:
         block_cls, stage_sizes = _RESNET_SPECS[self.variant]
-        norm = partial(
-            nn.BatchNorm,
-            use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
-            dtype=self.dtype,
-        )
+        if self.norm_layer == "group":
+            norm = partial(
+                nn.GroupNorm, num_groups=32, epsilon=1e-5, dtype=self.dtype
+            )
+        else:
+            norm = partial(
+                nn.BatchNorm,
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=self.dtype,
+            )
         feats = []
         x = x.astype(self.dtype)
         # torch-exact symmetric padding: flax 'SAME' on stride-2 ops pads
