@@ -45,8 +45,9 @@ def rng():
 
 @pytest.fixture(autouse=True)
 def _clear_active_mesh():
-    """make_mesh registers itself as the active mesh (model code consults
-    it for shard_map dispatch); never let that leak across tests."""
+    """The active-mesh registry is opt-in since round 4 (make_mesh
+    register=False default), but tests exercising the set_active_mesh
+    fallback must never leak it across tests."""
     yield
     from vsta_tpu.parallel.mesh import set_active_mesh
 

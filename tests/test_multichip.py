@@ -172,6 +172,29 @@ def test_dryrun_multichip_driver_faithful():
     assert "[dryrun_multichip] ok" in proc.stdout
 
 
+def test_mesh_registration_opt_in():
+    """make_mesh must NOT mutate the active-mesh registry by default
+    (advisor round 3: an unrelated mesh changed later models' warp
+    dispatch); register=True and the ACTIVE sentinel remain the
+    documented fallback for direct constructors."""
+    from vsta_tpu.models import BEVNet
+    from vsta_tpu.parallel.mesh import ACTIVE, get_active_mesh, make_mesh
+
+    assert get_active_mesh() is None
+    mesh = make_mesh(2, 1)
+    assert get_active_mesh() is None, "make_mesh leaked into the registry"
+
+    cfg = tiny_cfg()
+    assert BEVNet.from_config(cfg).mesh is None
+    assert BEVNet.from_config(cfg, mesh=mesh).mesh is mesh
+
+    reg = make_mesh(2, 1, register=True)
+    assert get_active_mesh() is reg
+    assert BEVNet.from_config(cfg, mesh=ACTIVE).mesh is reg
+    # explicit None still means single-device even with a registered mesh
+    assert BEVNet.from_config(cfg).mesh is None
+
+
 def test_make_mesh_clamps_to_batch_and_views():
     """An indivisible batch/view count must clamp the mesh axis instead
     of crashing device_put later (VERDICT round 2, weak #3)."""
