@@ -127,6 +127,11 @@ def calibrate_quant_encoder(
             f"encoder quantization supports the resnet family, not "
             f"{cfg.model.backbone!r} (BatchNorm-fold PTQ)"
         )
+    if cfg.model.norm != "batch":
+        raise ValueError(
+            f"encoder quantization folds BatchNorm into the int8 convs; "
+            f"MODEL.NORM={cfg.model.norm!r} has no running stats to fold"
+        )
     fold = cfg.model.fusion == "concat" and cfg.model.warp_impl in ("fused", "pallas")
     imgs = []
     for images, _K, _Rt in batches:
