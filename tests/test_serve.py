@@ -96,6 +96,70 @@ def test_serve_cli_streams_artifact(tmp_path):
     assert abs(stats["latency_ms_per_frame"] - stats["latency_ms_mean"]) < 0.02
 
 
+def test_serve_cli_multi_clip(tmp_path):
+    """--clips N: batched temporal-window streaming - every frame JSON
+    carries its clip id, both clips cover their contiguous window in
+    order, and track ids are per-clip (scripts/bench_serve_e2e.py scores
+    on exactly this contract)."""
+    from vsta_tpu.data.synthetic import generate_synthetic_wildtrack
+    from vsta_tpu.export import export_serving, save_exported
+    from vsta_tpu.models import BEVNet
+
+    root = generate_synthetic_wildtrack(
+        tmp_path / "wt", n_frames=6, n_views=2, n_people=3, img_hw=(108, 192)
+    )
+    cfg = _tiny_cfg(root)
+    model = BEVNet.from_config(cfg)
+    import jax.numpy as jnp
+
+    B, V = 2, cfg.data.views
+    H, W = cfg.data.img_size
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((B, V, H, W, 3), jnp.float32),
+        jnp.broadcast_to(jnp.eye(3), (B, V, 3, 3)).astype(jnp.float32),
+        jnp.broadcast_to(jnp.eye(4), (B, V, 4, 4)).astype(jnp.float32),
+        train=False,
+    )
+    exp = export_serving(cfg, variables, batch_size=2)
+    artifact = tmp_path / "model.stablehlo"
+    save_exported(exp, artifact, cfg=cfg)
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".jax_cache"))
+    out_dir = tmp_path / "served"
+    r = subprocess.run(
+        [sys.executable, str(REPO / "serve.py"), "--artifact", str(artifact),
+         "--track", "--clips", "2", "--out", str(out_dir)],
+        capture_output=True, text=True, timeout=900, env=env, cwd=str(REPO),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    outs = sorted(out_dir.glob("frame_*.json"))
+    assert len(outs) == 6
+    by_clip = {}
+    for p in outs:
+        d = json.loads(p.read_text())
+        assert "clip" in d and "tracks" in d
+        by_clip.setdefault(d["clip"], []).append(d["frame_idx"])
+    # two contiguous temporal windows covering 0..5
+    assert sorted(by_clip) == [0, 1]
+    assert sorted(by_clip[0]) == [0, 1, 2]
+    assert sorted(by_clip[1]) == [3, 4, 5]
+
+    # --clips must match the artifact's frozen batch size
+    r2 = subprocess.run(
+        [sys.executable, str(REPO / "serve.py"), "--artifact", str(artifact),
+         "--track", "--clips", "3", "--out", str(out_dir)],
+        capture_output=True, text=True, timeout=300, env=env, cwd=str(REPO),
+    )
+    assert r2.returncode != 0
+    assert "must equal the artifact's frozen batch size" in (
+        r2.stderr + r2.stdout
+    )
+
+
 def test_serve_batch_from_manifest():
     sys.path.insert(0, str(REPO))
     from serve import _batch_from_manifest
