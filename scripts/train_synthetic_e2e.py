@@ -35,6 +35,9 @@ def main():
                     choices=["concat", "mean", "max", "sum", "attn", "deform_attn"])
     ap.add_argument("--warp_impl", default=None,
                     help="override MODEL.WARP_IMPL (default: config value)")
+    ap.add_argument("--norm", default=None, choices=["batch", "group"],
+                    help="override MODEL.NORM (GroupNorm-32 backbone "
+                         "variant, resnets only)")
     ap.add_argument("--feat_dim", type=int, default=None,
                     help="override MODEL.FEAT_DIM (per-view fusions like "
                          "attn warp FEAT_DIM channels to BEV - use ~64, "
@@ -78,6 +81,8 @@ def main():
     model_kw = {"fusion": args.fusion}
     if args.warp_impl:
         model_kw["warp_impl"] = args.warp_impl
+    if args.norm:
+        model_kw["norm"] = args.norm
     if args.feat_dim:
         model_kw["feat_dim"] = args.feat_dim
     cfg = dataclasses.replace(
@@ -109,6 +114,7 @@ def main():
     summary = {
         "config": args.config,
         "backbone": cfg.model.backbone,
+        "norm": cfg.model.norm,
         "fusion": args.fusion,
         "warp_impl": cfg.model.warp_impl,
         "epochs": args.epochs,
