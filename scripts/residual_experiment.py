@@ -42,13 +42,27 @@ sys.path.insert(0, str(REPO))
 VARIANTS = ["base", "freeze", "r50-bn", "r50-gn", "base-lhs"]
 
 
-def build_cfg(variant: str, batch: int):
+def build_cfg(variant: str, batch: int, tiny: bool = False):
     from vsta_tpu.config import load_config
 
     cfg = load_config(str(REPO / "configs" / "wildtrack.yaml"))
     cfg = dataclasses.replace(
         cfg, data=dataclasses.replace(cfg.data, batch_size=batch)
     )
+    if tiny:
+        # plumbing-smoke shapes (CPU): the orchestration (subprocesses,
+        # env flags, parsing) is what a failed TPU window can't re-test
+        cfg = dataclasses.replace(
+            cfg,
+            data=dataclasses.replace(
+                cfg.data, batch_size=min(batch, 2), img_size=(54, 96), views=2
+            ),
+            model=dataclasses.replace(
+                cfg.model, backbone="resnet18", feat_dim=64, out_index=1,
+                bev_size=(12, 24), bev_proj_ch=8,
+            ),
+            runtime=dataclasses.replace(cfg.runtime, use_amp=False, device="cpu"),
+        )
     if variant == "freeze":
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, freeze_backbone=True)
@@ -58,16 +72,16 @@ def build_cfg(variant: str, batch: int):
             cfg,
             model=dataclasses.replace(
                 cfg.model,
-                backbone="resnet50",
-                feat_dim=512,
-                norm="group" if variant == "r50-gn" else "batch",
+                backbone="resnet18" if tiny else "resnet50",
+                feat_dim=64 if tiny else 512,
+                norm="group" if variant.endswith("-gn") else "batch",
             ),
         )
     return cfg
 
 
 def measure(variant: str, batch: int, n_lo: int = 2, n_hi: int = 6,
-            repeat: int = 3) -> float:
+            repeat: int = 3, tiny: bool = False) -> float:
     """ms per full train step (fwd+bwd+optimizer), chained-slope timed."""
     import jax
     import jax.numpy as jnp
@@ -79,7 +93,12 @@ def measure(variant: str, batch: int, n_lo: int = 2, n_hi: int = 6,
     from vsta_tpu.utils.platform import enable_compile_cache
 
     enable_compile_cache(str(REPO))
-    cfg = build_cfg(variant, batch)
+    cfg = build_cfg(variant, batch, tiny=tiny)
+    if tiny:
+        from vsta_tpu.utils.platform import select_platform
+
+        select_platform("cpu")
+        n_lo, n_hi, repeat = 1, 3, 1
     B, V = cfg.data.batch_size, cfg.data.views
     H, W = cfg.data.img_size
     rng = np.random.default_rng(0)
@@ -128,10 +147,12 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--variants", default=",".join(VARIANTS))
     ap.add_argument("--measure", default=None, help=argparse.SUPPRESS)
+    ap.add_argument("--tiny", action="store_true", default=False,
+                    help="CPU plumbing smoke at tiny shapes")
     args = ap.parse_args()
 
     if args.measure:  # child mode: one variant, one backend, one line
-        ms = measure(args.measure, args.batch)
+        ms = measure(args.measure, args.batch, tiny=args.tiny)
         print(json.dumps({"variant": args.measure, "batch": args.batch,
                           "ms_per_step": round(ms, 2)}), flush=True)
         return
@@ -146,6 +167,8 @@ def main():
             ).strip()
         cmd = [sys.executable, __file__, "--batch", str(args.batch),
                "--measure", "base" if variant == "base-lhs" else variant]
+        if args.tiny:
+            cmd.append("--tiny")
         print(f"[residual] measuring {variant} ...", flush=True)
         proc = subprocess.run(cmd, capture_output=True, text=True, env=env,
                               cwd=str(REPO), timeout=1500)
