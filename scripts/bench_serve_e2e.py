@@ -109,6 +109,8 @@ def main():
                     help="override RUNTIME.DEVICE (cpu for the tunnel-down "
                          "fallback record; default: config value)")
     ap.add_argument("--quantize-head", action="store_true", default=False)
+    ap.add_argument("--overlap", action="store_true", default=False,
+                    help="serve with one-deep pipelining (throughput mode)")
     args = ap.parse_args()
 
     import yaml
@@ -147,6 +149,8 @@ def main():
         ]
         if n_clips > 1:
             serve_cmd += ["--clips", str(n_clips)]
+        if args.overlap:
+            serve_cmd.append("--overlap")
         if args.limit:
             serve_cmd += ["--limit", str(args.limit)]
         out = run_cli(serve_cmd, f"serve clips={n_clips}")
@@ -157,6 +161,7 @@ def main():
         mot, per_clip = score_mot(out_dir, cfg, n_clips)
         row = {
             "clips": n_clips,
+            "overlap": bool(args.overlap),
             "device": args.device or cfg.runtime.device,
             "quantize_head": bool(args.quantize_head),
             "mota": round(mot["mota"], 4),

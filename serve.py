@@ -62,6 +62,12 @@ def main():
     ap.add_argument("--warmup", type=int, default=1,
                     help="untimed warmup batches (first call compiles "
                          "the artifact's call wrapper)")
+    ap.add_argument("--overlap", action="store_true", default=False,
+                    help="one-deep pipelining: dispatch batch i+1 to the "
+                         "device (jax async dispatch) before fetching and "
+                         "post-processing batch i on the host - higher "
+                         "throughput; per-batch latency is then reported "
+                         "as pipelined throughput, not request latency")
     args = ap.parse_args()
     if args.clips > 1 and not args.track:
         ap.error("--clips requires --track")
@@ -126,22 +132,13 @@ def main():
 
     out_dir = cfg.runtime.output_dir
     lat, n_frames, n_warm, n_timed = [], 0, 0, 0
-    for batch in dl:
-        t0 = time.perf_counter()
-        out = serve(batch["images"], batch["K"], batch["Rt"])
+
+    def postprocess(out, frame_idx, batch_mask):
+        """Fetch decoded arrays, run online tracking, write frame JSON."""
+        nonlocal n_frames
         boxes = np.asarray(out["boxes"])
         scores = np.asarray(out["scores"])
         valid = np.asarray(out["valid"])
-        dt = time.perf_counter() - t0
-        frame_idx = np.asarray(batch["frame_idx"]).tolist()
-        batch_mask = np.asarray(batch["batch_mask"])
-        if n_warm < args.warmup:
-            n_warm += 1
-        else:
-            lat.append(dt)
-            # Real (unpadded) frames in this timed batch: per-frame stats
-            # must not count the padding rows of a final partial batch.
-            n_timed += int(batch_mask.sum())
         tracks_per_frame = None
         if trackers is not None:
             tracks_per_frame = []
@@ -166,7 +163,53 @@ def main():
                                      if args.clips > 1 else None))
         n_frames += int(batch_mask.sum())
 
-    stats = {"frames": n_frames, "batch": B}
+    if not args.overlap:
+        for batch in dl:
+            t0 = time.perf_counter()
+            out = serve(batch["images"], batch["K"], batch["Rt"])
+            out = {k: np.asarray(v) for k, v in out.items()}  # force fetch
+            dt = time.perf_counter() - t0
+            frame_idx = np.asarray(batch["frame_idx"]).tolist()
+            batch_mask = np.asarray(batch["batch_mask"])
+            if n_warm < args.warmup:
+                n_warm += 1
+            else:
+                lat.append(dt)
+                # Real (unpadded) frames in this timed batch: per-frame
+                # stats must not count padding rows of a final partial
+                # batch.
+                n_timed += int(batch_mask.sum())
+            postprocess(out, frame_idx, batch_mask)
+    else:
+        # one-deep pipeline: jax dispatch is async, so issuing batch i+1
+        # BEFORE fetching batch i's outputs overlaps device compute with
+        # host tracking/JSON work. Frame order (and each clip row's
+        # tracker order) is preserved - batches still complete in order.
+        pending = None  # (device outputs, frame_idx, batch_mask)
+        for batch in dl:
+            t0 = time.perf_counter()
+            out_dev = serve(batch["images"], batch["K"], batch["Rt"])
+            meta = (
+                np.asarray(batch["frame_idx"]).tolist(),
+                np.asarray(batch["batch_mask"]),
+            )
+            if pending is not None:
+                p_out, p_idx, p_mask = pending
+                p_out = {k: np.asarray(v) for k, v in p_out.items()}
+                dt = time.perf_counter() - t0  # dispatch i+1 + drain i
+                if n_warm < args.warmup:
+                    n_warm += 1
+                else:
+                    lat.append(dt)
+                    n_timed += int(p_mask.sum())
+                postprocess(p_out, p_idx, p_mask)
+            pending = (out_dev, *meta)
+        if pending is not None:
+            p_out, p_idx, p_mask = pending
+            p_out = {k: np.asarray(v) for k, v in p_out.items()}
+            postprocess(p_out, p_idx, p_mask)
+
+    stats = {"frames": n_frames, "batch": B, "overlap": bool(args.overlap)}
     if lat and n_timed:
         arr = np.array(lat)
         stats.update({

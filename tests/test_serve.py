@@ -160,6 +160,61 @@ def test_serve_cli_multi_clip(tmp_path):
     )
 
 
+def test_serve_cli_overlap_matches_sync(tmp_path):
+    """--overlap (one-deep pipelining) must produce byte-identical
+    predictions and tracks to the synchronous mode - only the timing
+    semantics change."""
+    from vsta_tpu.data.synthetic import generate_synthetic_wildtrack
+    from vsta_tpu.export import export_serving, save_exported
+    from vsta_tpu.models import BEVNet
+
+    root = generate_synthetic_wildtrack(
+        tmp_path / "wt", n_frames=5, n_views=2, n_people=3, img_hw=(108, 192)
+    )
+    cfg = _tiny_cfg(root)
+    model = BEVNet.from_config(cfg)
+    import jax.numpy as jnp
+
+    B, V = cfg.data.batch_size, cfg.data.views
+    H, W = cfg.data.img_size
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((B, V, H, W, 3), jnp.float32),
+        jnp.broadcast_to(jnp.eye(3), (B, V, 3, 3)).astype(jnp.float32),
+        jnp.broadcast_to(jnp.eye(4), (B, V, 4, 4)).astype(jnp.float32),
+        train=False,
+    )
+    exp = export_serving(cfg, variables, batch_size=2)
+    artifact = tmp_path / "model.stablehlo"
+    save_exported(exp, artifact, cfg=cfg)
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".jax_cache"))
+    outs = {}
+    for mode, extra in (("sync", []), ("overlap", ["--overlap"])):
+        out_dir = tmp_path / f"served_{mode}"
+        r = subprocess.run(
+            [sys.executable, str(REPO / "serve.py"), "--artifact",
+             str(artifact), "--track", "--out", str(out_dir)] + extra,
+            capture_output=True, text=True, timeout=900, env=env,
+            cwd=str(REPO),
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        outs[mode] = {
+            p.name: json.loads(p.read_text())
+            for p in sorted(out_dir.glob("frame_*.json"))
+        }
+        stats = json.loads(
+            [l for l in r.stdout.splitlines() if l.startswith("[serve] ")][0][
+                len("[serve] "):
+            ]
+        )
+        assert stats["frames"] == 5
+        assert stats["overlap"] == (mode == "overlap")
+    assert outs["sync"] == outs["overlap"]
+
+
 def test_serve_batch_from_manifest():
     sys.path.insert(0, str(REPO))
     from serve import _batch_from_manifest
