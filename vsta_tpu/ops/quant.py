@@ -67,7 +67,14 @@ def quantize_act(x: jax.Array, scale: jax.Array) -> jax.Array:
 # pytree at quantize_* time (qparams['impl']) - a module global read at
 # trace time would not retrace already-jitted serving functions when
 # flipped, and is not thread-safe (advisor round 3).
-CONV_IMPL = "dots"
+#
+# Default set FROM MEASUREMENT (TPU v5e, 2026-08-18, bench_quant
+# batch 16): 'conv' beats 'dots' >2x in every quantized mode
+# (flagship head: 428.5 vs 184.1 f/s; resnet50 head: 308.9 vs
+# 156.6 f/s) - the 9x HBM re-read dominates. See docs/QUANTIZATION.md
+# "Speed" for the full sweep (including the finding that int8 is a
+# memory lever, not a latency lever, on this runtime).
+CONV_IMPL = "conv"
 
 
 def conv_int8(
