@@ -458,29 +458,42 @@ def bench_pipeline_tpu():
 
     @jax.jit
     def fwd_scalar(variables, images, K, Rt, acc):
-        out = model.apply(variables, images + acc * 1e-30, K, Rt, train=False)
+        # serialize on acc WITHOUT promoting dtype: uint8 images must stay
+        # uint8 so the DEVICE_NORMALIZE branch (the production path) runs
+        dep = (acc * 1e-30).astype(images.dtype)
+        out = model.apply(variables, images + dep, K, Rt, train=False)
         return jnp.sum(out["heatmap"]).astype(jnp.float32)
 
-    def epoch():
-        pf = Prefetcher(
-            ds, list(range(len(ds))), B,
-            num_workers=cfg.runtime.num_workers, prefetch=2,
-            device_put=jax.device_put, drop_last=True,
-        )
+    def run_epochs(n_epochs):
+        # prefetch=4 (round 5): the warm pipeline is bound by the
+        # host->TPU tunnel link (~110-175 MB/s, fluctuating - measured in
+        # scripts/probe_tunnel.py); a deeper in-flight transfer queue
+        # rides through link jitter: median warm fps 26.8 -> 47.8 in the
+        # interleaved A/B (docs/PERFORMANCE.md "Host pipeline").
         t0 = time.perf_counter()
         acc = jnp.float32(0.0)
         n = 0
-        for batch in pf:
-            acc = fwd_scalar(variables, batch["images"], batch["K"], batch["Rt"], acc)
-            n += int(np.asarray(batch["batch_mask"]).sum())
-        float(acc)  # drain: waits for the whole chained epoch
+        for _ in range(n_epochs):
+            pf = Prefetcher(
+                ds, list(range(len(ds))), B,
+                num_workers=cfg.runtime.num_workers, prefetch=4,
+                device_put=jax.device_put, drop_last=True,
+            )
+            for batch in pf:
+                acc = fwd_scalar(
+                    variables, batch["images"], batch["K"], batch["Rt"], acc
+                )
+                n += int(np.asarray(batch["batch_mask"]).sum())
+        float(acc)  # drain: waits for the whole chained interval
         return n / max(time.perf_counter() - t0, 1e-9)
 
     # compile once on a resident batch so epoch 1 measures IO, not XLA
     float(fwd_scalar(variables, images0, K0, Rt0, jnp.float32(0.0)))
     ds._cache.clear()  # drop the frames decoded during init
-    fps_cold = epoch()  # decodes every PNG on the host
-    fps_warm = max(epoch(), epoch())  # RAM-cached
+    fps_cold = run_epochs(1)  # decodes every PNG on the host
+    # warm: 4 epochs per timed interval so per-epoch fixed costs
+    # (producer spin-up, final drain RTT ~25 ms) don't eat a 12-frame run
+    fps_warm = max(run_epochs(4), run_epochs(4))  # RAM-cached
     return fps_cold, fps_warm
 
 
@@ -659,10 +672,19 @@ def main():
             fps_cold, fps_warm = pipe
             extras["pipeline_fps_cold"] = round(fps_cold, 3)
             extras["pipeline_fps_warm"] = round(fps_warm, 3)
+            # the warm rate is bound by the host->TPU tunnel link, whose
+            # bandwidth fluctuates 2-3x minute-to-minute (measured:
+            # docs/PERFORMANCE.md "Host input pipeline"); record the link
+            # rate this run implies (7x270x480x3 B uint8 = 2.6 MB/frame)
+            # so each artifact explains its own pipeline number
+            frame_mb = 7 * 270 * 480 * 3 / 2**20
+            extras["pipeline_implied_link_mb_per_s"] = round(
+                fps_warm * frame_mb, 1)
             _emit_vs({
                 "metric": "wildtrack_input_included_frames_per_sec",
                 "value": round(fps_warm, 3), "unit": "frames/s/chip",
                 "cold_fps": round(fps_cold, 3),
+                "implied_link_mb_per_s": round(fps_warm * frame_mb, 1),
             }, fps_warm)
 
     def _final_headline():

@@ -119,7 +119,10 @@ def main():
                 f"--clips {args.clips} must equal the artifact's frozen "
                 f"batch size {B} (each clip rides one batch row)")
         plan = multi_clip_plan(indices, args.clips)
-    dl = Prefetcher(ds, indices, B, shuffle=False,
+    # prefetch=4: the tunnel link fluctuates (scripts/probe_tunnel.py);
+    # a deeper host-side decode queue keeps transfers in flight through
+    # link jitter (measured lever, docs/PERFORMANCE.md "Host pipeline")
+    dl = Prefetcher(ds, indices, B, shuffle=False, prefetch=4,
                     num_workers=cfg.runtime.num_workers, plan=plan)
 
     trackers = None

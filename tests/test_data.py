@@ -100,6 +100,23 @@ def test_collate_and_prefetcher(synth_root):
     assert b1["batch_mask"].tolist() == [True, False, False]
 
 
+def test_prefetcher_h2d_streams_identical_batches(synth_root):
+    """h2d_streams>1 splits large leaves into concurrent device_put
+    chunks reassembled on device (tunnel-bandwidth lever, round 5) -
+    consumers must see bit-identical batches either way."""
+    import jax
+
+    ds = WildtrackDataset(_cfg(synth_root))
+    kw = dict(batch_size=3, num_workers=2, device_put=jax.device_put)
+    plain = list(Prefetcher(ds, range(len(ds)), **kw))
+    chunked = list(Prefetcher(ds, range(len(ds)), h2d_streams=4, **kw))
+    assert len(plain) == len(chunked)
+    for a, b in zip(plain, chunked):
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+
 def test_prefetcher_drop_last(synth_root):
     ds = WildtrackDataset(_cfg(synth_root))
     pf = Prefetcher(ds, range(len(ds)), batch_size=3, num_workers=1, drop_last=True)

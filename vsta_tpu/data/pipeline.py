@@ -100,6 +100,7 @@ class Prefetcher:
         drop_last: bool = False,
         device_put: Optional[Callable[[Dict[str, np.ndarray]], Any]] = None,
         plan: Optional[List[Tuple[List[int], int]]] = None,
+        h2d_streams: int = 1,
     ):
         self.dataset = dataset
         self.indices = list(indices)
@@ -110,6 +111,20 @@ class Prefetcher:
         self.seed = seed
         self.drop_last = drop_last
         self.device_put = device_put
+        # Concurrent host->device transfer streams. This rig reaches the
+        # TPU through a tunnel whose single-stream H2D bandwidth is
+        # ~90-110 MB/s but which multiplexes ~8 concurrent transfers onto
+        # ~150-175 MB/s aggregate (measured, scripts/probe_tunnel.py) -
+        # splitting each large batch leaf into chunks shipped from a small
+        # thread pool raises the input-bound pipeline ceiling ~1.6x. The
+        # chunks are reassembled ON DEVICE (jnp.concatenate - an async
+        # ~10 MB HBM copy), so consumers still see one array per key.
+        self.h2d_streams = max(1, int(h2d_streams))
+        self._h2d_pool = (
+            ThreadPoolExecutor(self.h2d_streams, thread_name_prefix="h2d")
+            if self.h2d_streams > 1 and device_put is not None
+            else None
+        )
         self._epoch = 0
         # explicit (chunk, n_real) batches override the flat split (e.g.
         # multi_clip_plan); incompatible with shuffle by construction
@@ -119,6 +134,31 @@ class Prefetcher:
             assert all(len(c) == batch_size for c, _ in plan), (
                 "every plan chunk must match batch_size"
             )
+
+    # leaves below 1 MB gain nothing from chunking (the tunnel's fixed
+    # per-transfer cost ~24 ms dominates); ship them whole
+    _H2D_CHUNK_MIN_BYTES = 1 << 20
+
+    def _put_device(self, batch: Dict[str, np.ndarray]):
+        """device_put the batch, splitting large leaves into
+        ``h2d_streams`` concurrent transfers (see __init__ comment)."""
+        if self._h2d_pool is None:
+            return self.device_put(batch)
+        import jax.numpy as jnp
+
+        out = {}
+        for k, v in batch.items():
+            arr = np.ascontiguousarray(v)
+            if arr.nbytes < self._H2D_CHUNK_MIN_BYTES:
+                out[k] = self.device_put(arr)
+                continue
+            # flatten (a view), split evenly across streams, reassemble on
+            # device: concatenate + reshape are async metadata-cheap ops
+            flat = arr.reshape(-1)
+            chunks = np.array_split(flat, self.h2d_streams)
+            devs = list(self._h2d_pool.map(self.device_put, chunks))
+            out[k] = jnp.concatenate(devs).reshape(arr.shape)
+        return out
 
     def __len__(self) -> int:
         if self.plan is not None:
@@ -188,7 +228,7 @@ class Prefetcher:
                         mask[:n_real] = True
                         batch["batch_mask"] = mask
                         if self.device_put is not None:
-                            batch = self.device_put(batch)
+                            batch = self._put_device(batch)
                         if not _put(batch):
                             return
             except BaseException as e:  # noqa: BLE001 - forwarded, not hidden

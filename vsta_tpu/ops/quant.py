@@ -1,10 +1,13 @@
 """int8 post-training quantization for the detector head (serving path).
 
 The CenterNet stem is 96% of the forward FLOPs and runs at ~79% of the
-bf16 MXU roofline (docs/PERFORMANCE.md) - the one stage where faster
-*arithmetic*, not bandwidth, buys latency. TPU v5e's MXU executes int8
-at 2x the bf16 rate (394 TOPS vs 197 TFLOP/s), so an int8 stem is the
-remaining single-chip lever the bf16 program cannot reach.
+bf16 MXU roofline (docs/PERFORMANCE.md) - on paper the one stage where
+faster *arithmetic* could buy latency (v5e datasheet: int8 at 2x the
+bf16 MXU rate). MEASURED OUTCOME (TPU v5e, 2026-08-18,
+docs/QUANTIZATION.md "Speed"): the runtime does not engage a faster
+int8 rate - int8 serving is SLOWER than bf16 in every measured mode,
+so on this runtime int8 is a *memory* lever (halved weight bytes),
+not a latency lever, and stays off by default.
 
 Scheme (standard PTQ):
   * weights: symmetric per-output-channel int8 (absmax / 127);
@@ -16,12 +19,12 @@ Scheme (standard PTQ):
   * the three tiny output convs (128 -> 1/2/2 channels) stay float so
     the regression outputs keep full precision.
 
-TPU-first formulation: each 3x3 conv is decomposed into nine shifted
-1x1 matmuls - ``lax.dot_general`` over zero-padded slices with
-``preferred_element_type=int32``. dot_general s8xs8->s32 lowers straight
-onto the MXU's int8 path on TPU (convolution ops may be silently upcast
-by XLA; dots are not), the shifted slices are fused views (no im2col
-materialization), and the formulation is backend-portable for testing.
+Two exact-integer lowerings (pinned equal by unit test):
+  * 'conv' (the measured default): one native
+    ``lax.conv_general_dilated(s8, s8) -> s32`` - reads the input once;
+  * 'dots': nine shifted 1x1 ``lax.dot_general`` matmuls over fused
+    zero-padded slices - backend-portable, but re-reads the padded
+    input ~9x from HBM, which measures ~2x slower on the head modes.
 
 The reference has no quantization story at all (pure fp16-autocast
 torch, project/train.py:238-247); this is a new capability.
@@ -69,11 +72,13 @@ def quantize_act(x: jax.Array, scale: jax.Array) -> jax.Array:
 # flipped, and is not thread-safe (advisor round 3).
 #
 # Default set FROM MEASUREMENT (TPU v5e, 2026-08-18, bench_quant
-# batch 16): 'conv' beats 'dots' >2x in every quantized mode
-# (flagship head: 428.5 vs 184.1 f/s; resnet50 head: 308.9 vs
-# 156.6 f/s) - the 9x HBM re-read dominates. See docs/QUANTIZATION.md
-# "Speed" for the full sweep (including the finding that int8 is a
-# memory lever, not a latency lever, on this runtime).
+# batch 16, all modes x both lowerings): 'conv' beats 'dots' by
+# ~1.8-2.6x in every quantized mode (flagship head 428.5 vs 184.1 f/s;
+# resnet50 head 306.0 vs 156.7, encoder 308.9 vs 173.8, encoder+head
+# 275.6 vs 107.8) - the 9x HBM re-read dominates. See
+# docs/QUANTIZATION.md "Speed" for the full sweep (including the
+# finding that int8 is a memory lever, not a latency lever, on this
+# runtime: even the best int8 mode is 11% below float).
 CONV_IMPL = "conv"
 
 
