@@ -21,6 +21,30 @@ def _make_inputs(rng, B=1, V=3, Hf=8, Wf=12, C=6, Hb=5, Wb=7):
     return feats, coords, query, depth_w
 
 
+def test_scaled_sampler_is_exact_linearity(rng):
+    """The attention-folded sampler must equal scale * plain sampling
+    exactly (sampling is linear in the tap weights) - the deform module
+    relies on this identity (round 5 optimization)."""
+    from vsta_tpu.ops.warp import sample_bilinear_many, sample_bilinear_many_scaled
+
+    G, Hf, Wf, C, S = 3, 6, 9, 8, 17
+    feats = jnp.asarray(rng.standard_normal((G, Hf, Wf, C)), jnp.float32)
+    coords = jnp.asarray(
+        np.stack([rng.uniform(-1.5, Wf + 0.5, (G, S)),
+                  rng.uniform(-1.5, Hf + 0.5, (G, S))], axis=-1),
+        jnp.float32)
+    scale = jnp.asarray(rng.standard_normal((G, S)), jnp.float32)
+    plain = sample_bilinear_many(feats, coords) * scale[..., None]
+    folded = sample_bilinear_many_scaled(feats, coords, scale)
+    np.testing.assert_allclose(
+        np.asarray(folded), np.asarray(plain), rtol=1e-5, atol=1e-5)
+    # gradient flows to the scale (drives the attention weights)
+    g = jax.grad(
+        lambda s: jnp.sum(sample_bilinear_many_scaled(feats, coords, s))
+    )(scale)
+    assert float(jnp.max(jnp.abs(g))) > 0.0
+
+
 def test_ring_init_shape():
     ring = _ring_offset_init(4, 4)
     assert ring.shape == (4, 4, 2)

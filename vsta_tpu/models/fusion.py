@@ -134,19 +134,27 @@ class DeformableFusion(nn.Module):
         attn = jax.nn.softmax(flat, axis=-1).reshape(B, Hb, Wb, M, V, P)
 
         # Bilinear-sample values per (view, head, point) through the
-        # fast-VJP primitive (windowed Pallas scatter backward on TPU).
+        # fast-VJP primitive (windowed Pallas scatter backward on TPU),
+        # with the attention weights FOLDED into the bilinear tap weights
+        # (sampling is linear in the weights, so this is exact): the
+        # (view, point) weighting einsum disappears - its forward is a
+        # free multiply inside the kernel's one-hot build and its
+        # backward rides the kernel's exact d_wts instead of a [G,S,hc]
+        # einsum cotangent (round 5: module fwd+bwd 50.7 -> ~31 ms).
         loc_s = jnp.transpose(loc, (0, 3, 4, 1, 2, 5, 6))  # [B,V,M,Hb,Wb,P,2]
         vals_s = jnp.transpose(values, (0, 1, 4, 2, 3, 5))  # [B,V,M,Hf,Wf,hc]
-        from ..ops.warp import sample_bilinear_many
+        attn_s = jnp.transpose(attn, (0, 4, 3, 1, 2, 5))  # [B,V,M,Hb,Wb,P]
+        from ..ops.warp import sample_bilinear_many_scaled
 
         G = B * V * M
-        sampled = sample_bilinear_many(
-            vals_s.reshape(G, Hf, Wf, hc), loc_s.reshape(G, Hb * Wb * P, 2)
+        weighted = sample_bilinear_many_scaled(
+            vals_s.reshape(G, Hf, Wf, hc),
+            loc_s.reshape(G, Hb * Wb * P, 2),
+            attn_s.reshape(G, Hb * Wb * P),
         ).reshape(B, V, M, Hb, Wb, P, hc)
-
-        attn_s = jnp.transpose(attn, (0, 4, 3, 1, 2, 5))  # [B,V,M,Hb,Wb,P]
-        per_head = jnp.einsum(
-            "bvmhwp,bvmhwpc->bmhwc", attn_s.astype(self.dtype), sampled.astype(self.dtype)
+        # sum over (view, point): the softmax already normalized over both
+        per_head = jnp.sum(
+            weighted.astype(self.dtype), axis=(1, 5)
         )  # [B,M,Hb,Wb,hc]
         fused = jnp.transpose(per_head, (0, 2, 3, 1, 4)).reshape(B, Hb, Wb, M * hc)
         fused = fused * any_valid[..., None].astype(fused.dtype)

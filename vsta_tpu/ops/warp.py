@@ -173,6 +173,33 @@ def sample_bilinear_many(feats: jax.Array, coords: jax.Array) -> jax.Array:
     return _warp_pairs_shared(fp, anchors, wts, (Hf, Wf))
 
 
+def sample_bilinear_many_scaled(
+    feats: jax.Array, coords: jax.Array, scale: jax.Array
+) -> jax.Array:
+    """:func:`sample_bilinear_many` with a per-sample scalar folded into
+    the 4 bilinear tap weights.
+
+    Sampling is linear in the tap weights, so
+    ``scale * sample(feats, coords) == sample_scaled(feats, coords,
+    scale)`` exactly - but folding the scale (e.g. deformable-attention
+    weights) into the weights BEFORE the kernel removes the downstream
+    weighting einsum entirely: its forward is a free multiply inside the
+    kernel's one-hot build, and its backward rides the kernel's exact
+    ``d_wts`` path (a [G,S,4] cotangent) instead of materializing a
+    [G,S,C] cotangent for a separate einsum (measured: the deform
+    module's fwd+bwd drops 50.7 -> ~31 ms at batch 8 flagship shapes,
+    docs/PERFORMANCE.md "Deformable-attention").
+
+    feats [G,Hf,Wf,C]; coords [G,S,2] (x,y) px; scale [G,S] float.
+    Returns [G,S,C] = scale[...,None] * bilinear_sample(feats, coords).
+    """
+    G, Hf, Wf, C = feats.shape
+    anchors, wts = _anchored_taps(coords, (Hf, Wf))
+    wts = wts * scale[..., None].astype(wts.dtype)
+    fp = _pad_feat_br(feats).reshape(G, (Hf + 1) * (Wf + 1), C)
+    return _warp_pairs_shared(fp, anchors, wts, (Hf, Wf))
+
+
 def warp_views(feats: jax.Array, coords: jax.Array) -> jax.Array:
     """Warp per-view feature maps to BEV (unfused; parity surface).
 

@@ -764,8 +764,13 @@ _GMAJOR_VMEM_BYTES = 48 * 1024 * 1024
 # span width for the grouped kernels. Wider than the resident kernel's
 # RWIN=384: an on-TPU sweep at flagship deform shapes (module fwd, ms):
 # 128->47.5, 256->32.2, 384->28.8, 512->25.1, 1024->25.1, 1280->26.4 -
-# fewer span iterations and wider MXU matmuls win until ~512.
-GRWIN = 512
+# fewer span iterations and wider MXU matmuls win until ~512. Env
+# override (VSTA_GRWIN) exists for sweeps (scripts/profile_deform.py);
+# must stay a multiple of 8 (sublane alignment of the span starts).
+import os as _os
+
+GRWIN = int(_os.environ.get("VSTA_GRWIN", "512"))
+assert GRWIN % 8 == 0, "VSTA_GRWIN must be a multiple of 8"
 
 
 # Index/weight layout note: the 4 taps ride the SUBLANE axis ([G, 4, N],
