@@ -35,6 +35,7 @@ the scatter-matmul rides the MXU instead.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -68,8 +69,12 @@ def _mxu_precision(compute_dtype):
 # resident kernel (shared cameras, feature block fits VMEM)
 # ---------------------------------------------------------------------------
 
-RWIN = 384  # source rows per matmul span (resident kernel; TPU sweep
-            # at flagship shapes: 384 -> 7.42 ms vs 256 -> 7.75, 512 -> 7.58)
+RWIN = int(os.environ.get("VSTA_RWIN", "384"))
+# source rows per matmul span (resident kernel). TPU sweep at flagship
+# shapes (serialized kernel): 384 -> 7.42 ms vs 256 -> 7.75, 512 -> 7.58.
+# The round-5 software-pipelined s-build (see _resident_kernel) measured
+# 7.01 ms at 384. VSTA_RWIN exists for sweeps.
+assert RWIN % 8 == 0, "VSTA_RWIN must be a multiple of 8"
 # feats must fit VMEM alongside ~2 MB of working set; v5e/v5p have 128 MB
 RESIDENT_BUDGET_BYTES = 80 * 1024 * 1024
 
@@ -87,12 +92,12 @@ def _resident_kernel(
 ):
     t = pl.program_id(0)
     iota = jax.lax.broadcasted_iota(jnp.int32, (TILE_N, RWIN), 1)
+    maxw = start_ref.shape[1]
 
-    def body(w, acc):
+    def make_s(w):
+        """One-hot scatter matrix for work item w (VPU work)."""
         v = view_ref[t, w]
-        # starts are built 8-aligned on the host side; the hint lets
-        # Mosaic prove the sublane alignment of the dynamic slice
-        start = pl.multiple_of(start_ref[t, w], 8)
+        start = start_ref[t, w]
         idx_v = idx_ref[0, v]  # [TILE_N, 4] (dynamic view index)
         wts_v = wts_ref[0, v]
         # (building S directly in bf16 trips a Mosaic relayout bug on
@@ -101,15 +106,33 @@ def _resident_kernel(
         for k in range(4):
             rel = idx_v[:, k][:, None] - start
             s = s + jnp.where(iota == rel, wts_v[:, k][:, None], 0.0)
-        return acc + jnp.dot(
+        return s, start, v
+
+    # Software-pipelined span loop: iteration w dots the s-matrix built
+    # LAST iteration while the VPU builds the next one - the two have no
+    # data dependency inside an iteration, so Mosaic can overlap MXU and
+    # VPU issue. The serialized form measured 7.7 ms vs a 3.8 ms MXU
+    # bound at flagship shapes (ablation: dot 4.9 ms + s-build/loop
+    # 2.8 ms, scripts/roofline_warp.py --variants).
+    def body(w, carry):
+        acc, s, start, v = carry
+        s_n, start_n, v_n = make_s(jnp.minimum(w + 1, maxw - 1))
+        # starts are built 8-aligned on the host side; the hint lets
+        # Mosaic prove the sublane alignment of the dynamic slice
+        acc = acc + jnp.dot(
             s.astype(compute_dtype),
-            feats_ref[v, pl.ds(start, RWIN), :],
+            feats_ref[v, pl.ds(pl.multiple_of(start, 8), RWIN), :],
             preferred_element_type=jnp.float32,
             precision=_mxu_precision(compute_dtype),
         )
+        return acc, s_n, start_n, v_n
 
-    acc = jax.lax.fori_loop(
-        0, win_n_ref[t, 0], body, jnp.zeros((TILE_N, out_ref.shape[-1]), jnp.float32)
+    s0, start0, v0 = make_s(0)
+    acc, _, _, _ = jax.lax.fori_loop(
+        0,
+        win_n_ref[t, 0],
+        body,
+        (jnp.zeros((TILE_N, out_ref.shape[-1]), jnp.float32), s0, start0, v0),
     )
     # accumulate f32, store in compute dtype: halves the output traffic
     # (and the downstream [N, B, C] -> [B, N, C] transpose) under AMP
@@ -247,6 +270,7 @@ def _windowed_kernel(
     K = out_ref.shape[-1]
     iota = jax.lax.broadcasted_iota(jnp.int32, (TILE_N, WIN), 1)
     n_work = win_n_ref[t, 0]
+    maxw = win_vc_ref.shape[1]
 
     def dma(w, slot):
         vc = win_vc_ref[t, w]
@@ -256,20 +280,16 @@ def _windowed_kernel(
             feats_ref.at[v, pl.ds(c * WIN, WIN), :], buf_ref.at[slot], sems.at[slot]
         )
 
-    @pl.when(n_work > 0)
-    def _():
-        dma(0, 0).start()
+    def make_s(w):
+        """One-hot scatter matrix for work item w (VPU work, no DMA dep).
 
-    def body(w, acc):
-        slot = w % 2
-
-        @pl.when(w + 1 < n_work)
-        def _():
-            dma(w + 1, (w + 1) % 2).start()
-
-        dma(w, slot).wait()
+        Clamps the view index: the pipelined loop prefetches item w+1,
+        which past the active count is the int32 sentinel (1 << 30) -
+        its s-matrix is discarded but the idx/wts reads must stay in
+        bounds.
+        """
         vc = win_vc_ref[t, w]
-        v = vc // pack
+        v = jnp.minimum(vc // pack, n_views - 1)
         base = (vc % pack) * WIN
         idx_v = idx_ref[0, v]  # [TILE_N, 4] (dynamic view index)
         wts_v = wts_ref[0, v]
@@ -277,15 +297,35 @@ def _windowed_kernel(
         for k in range(4):
             rel = idx_v[:, k][:, None] - base
             s = s + jnp.where(iota == rel, wts_v[:, k][:, None], 0.0)
-        return acc + jnp.dot(
+        return s
+
+    @pl.when(n_work > 0)
+    def _():
+        dma(0, 0).start()
+
+    # Software-pipelined like _resident_kernel: build item w+1's s-matrix
+    # (VPU) before waiting on item w's DMA and issuing its dot (MXU), so
+    # Mosaic can overlap the two engines.
+    def body(w, carry):
+        acc, s = carry
+        slot = w % 2
+
+        @pl.when(w + 1 < n_work)
+        def _():
+            dma(w + 1, (w + 1) % 2).start()
+
+        s_n = make_s(jnp.minimum(w + 1, maxw - 1))
+        dma(w, slot).wait()
+        acc = acc + jnp.dot(
             s.astype(compute_dtype),
             buf_ref[slot],
             preferred_element_type=jnp.float32,
             precision=_mxu_precision(compute_dtype),
         )
+        return acc, s_n
 
-    acc = jax.lax.fori_loop(
-        0, n_work, body, jnp.zeros((TILE_N, K), jnp.float32)
+    acc, _ = jax.lax.fori_loop(
+        0, n_work, body, (jnp.zeros((TILE_N, K), jnp.float32), make_s(0))
     )
     out_ref[:, :] = acc
 
@@ -555,21 +595,29 @@ def _scatter_kernel(
     first = first_ref[v, t]
     last = last_ref[v, t]
 
-    def body(c, _):
+    def make_s(c):
+        # pure VPU arithmetic - safe to prefetch one window past `last`
         base = c * WIN
         s_t = jnp.zeros((WIN, tile), jnp.float32)
         for k in range(4):
             rel = idx_t[:, k][None, :] - base
             s_t = s_t + jnp.where(iota == rel, wts_t[:, k][None, :], 0.0)
+        return s_t, base
+
+    # software-pipelined VPU s-build / MXU dot (see _resident_kernel);
+    # windows are disjoint, so the deferred accumulate stays race-free
+    def body(c, carry):
+        s_t, base = carry
+        s_n, base_n = make_s(c + 1)
         contrib = jnp.dot(
             s_t.astype(compute_dtype), g_t,
             preferred_element_type=jnp.float32,
             precision=_mxu_precision(compute_dtype),
         )
-        out_ref[0, pl.ds(base, WIN), :] += contrib
-        return 0
+        out_ref[0, pl.ds(pl.multiple_of(base, 8), WIN), :] += contrib
+        return s_n, base_n
 
-    jax.lax.fori_loop(first, last + 1, body, 0)
+    jax.lax.fori_loop(first, last + 1, body, make_s(first))
 
 
 def _scatter_gmajor_kernel(
@@ -588,21 +636,28 @@ def _scatter_gmajor_kernel(
         first = jnp.clip(jnp.min(idx_t) // WIN, 0, n_win - 1)
         last = jnp.clip(jnp.max(idx_t) // WIN, 0, n_win - 1)
 
-        def body(c, _):
+        def make_s(c):
+            # pure VPU arithmetic - safe to prefetch one window past last
             base = c * WIN
             s_t = jnp.zeros((WIN, TILE_N), jnp.float32)
             for k in range(4):
                 rel = idx_t[k][None, :] - base
                 s_t = s_t + jnp.where(iota == rel, wts_t[k][None, :], 0.0)
+            return s_t, base
+
+        # software-pipelined VPU s-build / MXU dot (see _resident_kernel)
+        def body(c, carry):
+            s_t, base = carry
+            s_n, base_n = make_s(c + 1)
             contrib = jnp.dot(
                 s_t.astype(compute_dtype), g_t,
                 preferred_element_type=jnp.float32,
                 precision=_mxu_precision(compute_dtype),
             )
-            out_ref[0, pl.ds(base, WIN), :] += contrib
-            return 0
+            out_ref[0, pl.ds(pl.multiple_of(base, 8), WIN), :] += contrib
+            return s_n, base_n
 
-        jax.lax.fori_loop(first, last + 1, body, 0)
+        jax.lax.fori_loop(first, last + 1, body, make_s(first))
         return 0
 
     jax.lax.fori_loop(0, n_tiles, tloop, 0)
@@ -804,18 +859,32 @@ def _grouped_sample_gmajor_kernel(
         lo8 = jnp.clip((lo // 8) * 8, 0, p_res - GRWIN)
         nw = (hi - lo8) // GRWIN + 1
 
-        def body(w, acc):
-            start = pl.multiple_of(lo8 + w * GRWIN, 8)
+        def make_s(w):
+            # pure VPU arithmetic (no memory reads depend on w), so the
+            # prefetched w+1 needs no bounds clamp
+            start = lo8 + w * GRWIN
             s = jnp.zeros((GRWIN, TILE_N), jnp.float32)
             for k in range(4):
                 rel = idxb[k][None, :] - start
                 s = s + jnp.where(iota == rel, wtsb[k][None, :], 0.0)
-            return acc + _span_dot(
-                s, map_ref[0, pl.ds(start, GRWIN), :], compute_dtype
-            )
+            return s, start
 
-        acc = jax.lax.fori_loop(
-            0, nw, body, jnp.zeros((TILE_N, out_ref.shape[-1]), jnp.float32)
+        # software-pipelined: build span w+1's one-hot (VPU) before span
+        # w's dot (MXU) so Mosaic can overlap the engines (see
+        # _resident_kernel)
+        def body(w, carry):
+            acc, s, start = carry
+            s_n, start_n = make_s(w + 1)
+            acc = acc + _span_dot(
+                s,
+                map_ref[0, pl.ds(pl.multiple_of(start, 8), GRWIN), :],
+                compute_dtype,
+            )
+            return acc, s_n, start_n
+
+        acc, _, _ = jax.lax.fori_loop(
+            0, nw, body,
+            (jnp.zeros((TILE_N, out_ref.shape[-1]), jnp.float32), *make_s(0)),
         )
         out_ref[0, pl.ds(t * TILE_N, TILE_N), :] = acc.astype(out_ref.dtype)
         return 0
@@ -836,18 +905,29 @@ def _grouped_sample_kernel(idx_ref, wts_ref, map_ref, out_ref, *, compute_dtype,
     nw = (hi - lo8) // GRWIN + 1
     iota = jax.lax.broadcasted_iota(jnp.int32, (GRWIN, tile), 0)
 
-    def body(w, acc):
-        start = pl.multiple_of(lo8 + w * GRWIN, 8)
+    def make_s(w):
+        # pure VPU arithmetic - safe to prefetch one item past nw
+        start = lo8 + w * GRWIN
         s = jnp.zeros((GRWIN, tile), jnp.float32)
         for k in range(4):
             rel = idxb[k][None, :] - start
             s = s + jnp.where(iota == rel, wtsb[k][None, :], 0.0)
-        return acc + _span_dot(
-            s, map_ref[0, pl.ds(start, GRWIN), :], compute_dtype
-        )
+        return s, start
 
-    acc = jax.lax.fori_loop(
-        0, nw, body, jnp.zeros((tile, out_ref.shape[-1]), jnp.float32)
+    # software-pipelined VPU s-build / MXU dot (see _resident_kernel)
+    def body(w, carry):
+        acc, s, start = carry
+        s_n, start_n = make_s(w + 1)
+        acc = acc + _span_dot(
+            s,
+            map_ref[0, pl.ds(pl.multiple_of(start, 8), GRWIN), :],
+            compute_dtype,
+        )
+        return acc, s_n, start_n
+
+    acc, _, _ = jax.lax.fori_loop(
+        0, nw, body,
+        (jnp.zeros((tile, out_ref.shape[-1]), jnp.float32), *make_s(0)),
     )
     out_ref[0] = acc.astype(out_ref.dtype)
 
@@ -942,22 +1022,36 @@ def _grouped_tapdot_gmajor_kernel(
         lo8 = jnp.clip((lo // 8) * 8, 0, p_res - GRWIN)
         nw = (hi - lo8) // GRWIN + 1
 
-        def body(w, acc):
-            start = pl.multiple_of(lo8 + w * GRWIN, 8)
-            span = map_ref[0, pl.ds(start, GRWIN), :]
+        def make_dots(w):
+            start = lo8 + w * GRWIN
+            # the prefetched span (w == nw) is discarded but its map read
+            # must stay in bounds; executed spans never clamp (their
+            # starts are <= hi < p_res - GRWIN)
+            start_m = pl.multiple_of(jnp.minimum(start, p_res - GRWIN), 8)
+            span = map_ref[0, pl.ds(start_m, GRWIN), :]
             dots = jax.lax.dot_general(
                 span, gt, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=_mxu_precision(compute_dtype),
             )  # [GRWIN, TILE_N]
+            return dots, start
+
+        # software-pipelined: issue span w+1's MXU dot before span w's
+        # VPU tap-selects so the engines overlap (mirror image of
+        # _resident_kernel, where the VPU work leads)
+        def body(w, carry):
+            acc, dots, start = carry
+            dots_n, start_n = make_dots(w + 1)
             new = []
             for k in range(4):
                 rel = idxb[k][None, :] - start
                 new.append(acc[k] + jnp.sum(jnp.where(iota == rel, dots, 0.0), axis=0))
-            return tuple(new)
+            return tuple(new), dots_n, start_n
 
-        acc = jax.lax.fori_loop(
-            0, nw, body, tuple(jnp.zeros((TILE_N,), jnp.float32) for _ in range(4))
+        acc, _, _ = jax.lax.fori_loop(
+            0, nw, body,
+            (tuple(jnp.zeros((TILE_N,), jnp.float32) for _ in range(4)),
+             *make_dots(0)),
         )
         for k in range(4):
             out_ref[0, t, k, :] = acc[k]
@@ -976,24 +1070,33 @@ def _grouped_tapdot_kernel(idx_ref, wts_ref, g_ref, map_ref, out_ref, *, compute
     iota = jax.lax.broadcasted_iota(jnp.int32, (GRWIN, tile), 0)
     gt = g_ref[0].astype(compute_dtype)  # [tile, K]
 
-    def body(w, acc):
-        start = pl.multiple_of(lo8 + w * GRWIN, 8)
-        span = map_ref[0, pl.ds(start, GRWIN), :]
+    def make_dots(w):
         # dots[r, s] = <map[start + r], g[s]> - contract K without
-        # materializing a transpose
+        # materializing a transpose. The prefetched span (w == nw) is
+        # discarded but its map read must stay in bounds.
+        start = lo8 + w * GRWIN
+        start_m = pl.multiple_of(jnp.minimum(start, p_res - GRWIN), 8)
+        span = map_ref[0, pl.ds(start_m, GRWIN), :]
         dots = jax.lax.dot_general(
             span, gt, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=_mxu_precision(compute_dtype),
-        )  # [GRWIN, TILE_N]
+        )  # [GRWIN, tile]
+        return dots, start
+
+    # software-pipelined MXU dot prefetch (see _grouped_tapdot_gmajor_kernel)
+    def body(w, carry):
+        acc, dots, start = carry
+        dots_n, start_n = make_dots(w + 1)
         new = []
         for k in range(4):
             rel = idxb[k][None, :] - start             # [1, tile]
             new.append(acc[k] + jnp.sum(jnp.where(iota == rel, dots, 0.0), axis=0))
-        return tuple(new)
+        return tuple(new), dots_n, start_n
 
-    acc = jax.lax.fori_loop(
-        0, nw, body, tuple(jnp.zeros((tile,), jnp.float32) for _ in range(4))
+    acc, _, _ = jax.lax.fori_loop(
+        0, nw, body,
+        (tuple(jnp.zeros((tile,), jnp.float32) for _ in range(4)), *make_dots(0)),
     )
     for k in range(4):
         out_ref[0, 0, k, :] = acc[k]
@@ -1116,15 +1219,25 @@ def _grouped_bwd_gmajor_kernel(
         lo8 = jnp.clip((lo // 8) * 8, 0, p_res - GRWIN)
         nw = (hi - lo8) // GRWIN + 1
 
-        def body(w, acc):
-            start = pl.multiple_of(lo8 + w * GRWIN, 8)
-            span = map_ref[0, pl.ds(start, GRWIN), :]
-            # tap-dot half: dots[r, s] = <map[start + r], g[s]>
+        def make_dots(w):
+            # tap-dot half: dots[r, s] = <map[start + r], g[s]>. The
+            # prefetched span (w == nw) is discarded but its map read
+            # must stay in bounds.
+            start = lo8 + w * GRWIN
+            start_m = pl.multiple_of(jnp.minimum(start, p_res - GRWIN), 8)
+            span = map_ref[0, pl.ds(start_m, GRWIN), :]
             dots = jax.lax.dot_general(
                 span, gt, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=_mxu_precision(compute_dtype),
             )  # [GRWIN, TILE_N]
+            return dots, start
+
+        # software-pipelined: span w+1's tap-dot (MXU) issues before span
+        # w's VPU mask/select work and scatter-dot, so the engines overlap
+        def body(w, carry):
+            acc, dots, start = carry
+            dots_n, start_n = make_dots(w + 1)
             s = jnp.zeros((GRWIN, TILE_N), jnp.float32)
             new = []
             for k in range(4):
@@ -1133,15 +1246,17 @@ def _grouped_bwd_gmajor_kernel(
                 s = s + jnp.where(m, wtsb[k][None, :], 0.0)
                 new.append(acc[k] + jnp.sum(jnp.where(m, dots, 0.0), axis=0))
             # scatter half: dmap[span] += S @ g  ([GRWIN, TILE] @ [TILE, K])
-            dmap_ref[0, pl.ds(start, GRWIN), :] += jnp.dot(
+            dmap_ref[0, pl.ds(pl.multiple_of(start, 8), GRWIN), :] += jnp.dot(
                 s.astype(compute_dtype), gt,
                 preferred_element_type=jnp.float32,
                 precision=_mxu_precision(compute_dtype),
             )
-            return tuple(new)
+            return tuple(new), dots_n, start_n
 
-        acc = jax.lax.fori_loop(
-            0, nw, body, tuple(jnp.zeros((TILE_N,), jnp.float32) for _ in range(4))
+        acc, _, _ = jax.lax.fori_loop(
+            0, nw, body,
+            (tuple(jnp.zeros((TILE_N,), jnp.float32) for _ in range(4)),
+             *make_dots(0)),
         )
         for k in range(4):
             dwts_ref[0, t, k, :] = acc[k]
