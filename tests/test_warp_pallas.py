@@ -245,6 +245,26 @@ def test_warp_tiles_windowed_f32_compute_is_exact(rng, cameras):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
 
 
+def test_warp_kernels_all_views_blind(rng, cameras):
+    """Every view blind (win_n = 0 for every tile): the software-pipelined
+    loop prologue still builds make_s(0) from the padded worklist, but no
+    span may ever be dotted - output must be exactly zero and insensitive
+    to poisoned feature values (round 5: pins the prefetch-discard
+    semantics of the pipelined span loop)."""
+    feats, kernel, bias, coords_v = _setup(rng, cameras, B=1)
+    V = feats.shape[1]
+    N = BEV[0] * BEV[1]
+    idx, wts = precompute_warp_lut(coords_v.reshape(V, N, 2), FEAT)
+    wts = wts * 0.0  # all views blind
+    flat = feats.transpose(1, 2, 3, 0, 4).reshape(V, FEAT[0] * FEAT[1], -1)
+    poisoned = jnp.full_like(flat, 1e6)
+    with pltpu.force_tpu_interpret_mode():
+        out_res = warp_tiles_resident(poisoned, idx, wts, compute_dtype=jnp.float32)
+        out_win = warp_tiles_windowed(poisoned, idx, wts, compute_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(out_res), 0.0)
+    np.testing.assert_array_equal(np.asarray(out_win), 0.0)
+
+
 def test_warp_worklist_packing_wide_source_map(rng):
     """Source maps with many WIN-windows exercise the widened (view,
     window) packing (round 1 corrupted silently at >= 1024 windows; a
