@@ -140,7 +140,10 @@ class DeformableFusion(nn.Module):
         # (view, point) weighting einsum disappears - its forward is a
         # free multiply inside the kernel's one-hot build and its
         # backward rides the kernel's exact d_wts instead of a [G,S,hc]
-        # einsum cotangent (round 5: module fwd+bwd 50.7 -> ~31 ms).
+        # einsum cotangent. Measured A/B vs the unfused einsum at batch 8
+        # (docs/PERFORMANCE.md "Deformable"): fwd 27.7 vs 28.1 ms,
+        # fwd+bwd 58.2 vs 60.2 ms - a real but small ~2 ms win; XLA
+        # already fuses most of the weighting it removes.
         loc_s = jnp.transpose(loc, (0, 3, 4, 1, 2, 5, 6))  # [B,V,M,Hb,Wb,P,2]
         vals_s = jnp.transpose(values, (0, 1, 4, 2, 3, 5))  # [B,V,M,Hf,Wf,hc]
         attn_s = jnp.transpose(attn, (0, 4, 3, 1, 2, 5))  # [B,V,M,Hb,Wb,P]
