@@ -73,7 +73,7 @@ RWIN = int(os.environ.get("VSTA_RWIN", "384"))
 # source rows per matmul span (resident kernel). TPU sweep at flagship
 # shapes (serialized kernel): 384 -> 7.42 ms vs 256 -> 7.75, 512 -> 7.58.
 # The round-5 software-pipelined s-build (see _resident_kernel) measured
-# 7.01 ms at 384. VSTA_RWIN exists for sweeps.
+# 7.01 ms at 384; unrolled by 2, 6.76 ms. VSTA_RWIN exists for sweeps.
 assert RWIN % 8 == 0, "VSTA_RWIN must be a multiple of 8"
 # feats must fit VMEM alongside ~2 MB of working set; v5e/v5p have 128 MB
 RESIDENT_BUDGET_BYTES = 80 * 1024 * 1024
@@ -93,11 +93,19 @@ def _resident_kernel(
     t = pl.program_id(0)
     iota = jax.lax.broadcasted_iota(jnp.int32, (TILE_N, RWIN), 1)
     maxw = start_ref.shape[1]
+    n = win_n_ref[t, 0]
 
     def make_s(w):
-        """One-hot scatter matrix for work item w (VPU work)."""
-        v = view_ref[t, w]
-        start = start_ref[t, w]
+        """One-hot scatter matrix for work item w (VPU work).
+
+        Dead items (w >= n: the unroll tail and prefetch past the active
+        count) are clamped in-bounds and their weights zeroed, so their
+        dot contributes exactly 0 (host planning keeps inactive
+        view/start slots in range)."""
+        wc = jnp.minimum(w, maxw - 1)
+        v = view_ref[t, wc]
+        start = start_ref[t, wc]
+        live = jnp.where(w < n, 1.0, 0.0)
         idx_v = idx_ref[0, v]  # [TILE_N, 4] (dynamic view index)
         wts_v = wts_ref[0, v]
         # (building S directly in bf16 trips a Mosaic relayout bug on
@@ -105,34 +113,46 @@ def _resident_kernel(
         s = jnp.zeros((TILE_N, RWIN), jnp.float32)
         for k in range(4):
             rel = idx_v[:, k][:, None] - start
-            s = s + jnp.where(iota == rel, wts_v[:, k][:, None], 0.0)
+            s = s + jnp.where(iota == rel, (wts_v[:, k] * live)[:, None], 0.0)
         return s, start, v
 
-    # Software-pipelined span loop: iteration w dots the s-matrix built
-    # LAST iteration while the VPU builds the next one - the two have no
-    # data dependency inside an iteration, so Mosaic can overlap MXU and
-    # VPU issue. The serialized form measured 7.7 ms vs a 3.8 ms MXU
-    # bound at flagship shapes (ablation: dot 4.9 ms + s-build/loop
-    # 2.8 ms, scripts/roofline_warp.py --variants).
-    def body(w, carry):
-        acc, s, start, v = carry
-        s_n, start_n, v_n = make_s(jnp.minimum(w + 1, maxw - 1))
+    def dot(acc, s, start, v):
         # starts are built 8-aligned on the host side; the hint lets
         # Mosaic prove the sublane alignment of the dynamic slice
-        acc = acc + jnp.dot(
+        return acc + jnp.dot(
             s.astype(compute_dtype),
             feats_ref[v, pl.ds(pl.multiple_of(start, 8), RWIN), :],
             preferred_element_type=jnp.float32,
             precision=_mxu_precision(compute_dtype),
         )
-        return acc, s_n, start_n, v_n
 
-    s0, start0, v0 = make_s(0)
-    acc, _, _, _ = jax.lax.fori_loop(
+    # Software-pipelined span loop, unrolled by 2: iteration i dots the
+    # two s-matrices built LAST iteration while the VPU builds the next
+    # pair - no data dependency inside an iteration, so Mosaic can
+    # overlap MXU and VPU issue - and the halved trip count amortizes
+    # the loop bookkeeping that the pipelined-by-1 form left on the
+    # table. Measured at flagship shapes (scripts/roofline_warp.py):
+    # serialized 7.7 ms, pipelined-by-1 7.0 ms, vs the 3.8 ms MXU bound
+    # (ablation: dot 4.9 ms + s-build/loop 2.8 ms, --variants).
+    npairs = (n + 1) // 2
+
+    def body(i, carry):
+        acc, sA, stA, vA, sB, stB, vB = carry
+        ip = jnp.minimum(i + 1, jnp.maximum(npairs - 1, 0))
+        sA_n, stA_n, vA_n = make_s(2 * ip)
+        sB_n, stB_n, vB_n = make_s(2 * ip + 1)
+        acc = dot(acc, sA, stA, vA)
+        acc = dot(acc, sB, stB, vB)
+        return acc, sA_n, stA_n, vA_n, sB_n, stB_n, vB_n
+
+    sA0, stA0, vA0 = make_s(0)
+    sB0, stB0, vB0 = make_s(1)
+    acc, *_ = jax.lax.fori_loop(
         0,
-        win_n_ref[t, 0],
+        npairs,
         body,
-        (jnp.zeros((TILE_N, out_ref.shape[-1]), jnp.float32), s0, start0, v0),
+        (jnp.zeros((TILE_N, out_ref.shape[-1]), jnp.float32),
+         sA0, stA0, vA0, sB0, stB0, vB0),
     )
     # accumulate f32, store in compute dtype: halves the output traffic
     # (and the downstream [N, B, C] -> [B, N, C] transpose) under AMP
